@@ -1,0 +1,231 @@
+"""Typed configuration with named presets.
+
+The reference keeps hyperparameters in a module of constants (SURVEY.md §1 L0,
+§2 "Config": board_size, n_in_row=5, c_puct, n_playout≈400, temperature decay,
+Dirichlet α≈0.3/ε=0.25, lr schedule, L2≈1e-4, buffer/batch size, res-blocks).
+Here they are frozen dataclasses with presets matching the five benchmark
+configs in BASELINE.json:6-12, CLI-overridable, and serialized into every
+checkpoint (SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, Optional, Tuple
+
+FREESTYLE = "freestyle"  # >=5 in a row wins (reference rules, SURVEY.md §2)
+RENJU_LITE = "renju_lite"  # black needs exactly 5; black overline is a loss
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """Board-engine parameters (SURVEY.md §1 L1)."""
+
+    board_size: int = 15
+    n_in_row: int = 5
+    rules: str = FREESTYLE
+
+    @property
+    def num_actions(self) -> int:
+        return self.board_size * self.board_size
+
+
+@dataclasses.dataclass(frozen=True)
+class NetConfig:
+    """Residual policy-value net (SURVEY.md §1 L3, §2 "Policy-value net")."""
+
+    blocks: int = 4
+    channels: int = 64
+    value_hidden: int = 64
+    compute_dtype: str = "bfloat16"  # params stay float32
+    use_pallas: bool = False  # fused Pallas residual blocks (inference path)
+
+
+@dataclasses.dataclass(frozen=True)
+class MCTSConfig:
+    """Batched array-MCTS parameters (SURVEY.md §1 L2, §2 "MCTS player")."""
+
+    num_simulations: int = 400
+    c_puct: float = 5.0
+    dirichlet_alpha: float = 0.3
+    dirichlet_eps: float = 0.25
+    # τ=1 sampling for the first `temperature_moves` plies of each game, then
+    # greedy (the reference family's temperature decay, SURVEY.md §2 Config).
+    temperature_moves: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class ReplayConfig:
+    """On-device ring replay buffer (SURVEY.md §1 L4)."""
+
+    capacity: int = 200_000
+    batch_size: int = 512
+    min_fill: int = 2_048
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Actor-learner loop parameters (SURVEY.md §1 L5/L6)."""
+
+    num_envs: int = 256
+    selfplay_plies_per_iter: int = 32  # lockstep plies collected per iteration
+    learner_steps_per_iter: int = 4
+    learning_rate: float = 2e-3
+    lr_warmup_steps: int = 100
+    l2_coef: float = 1e-4
+    momentum: float = 0.9  # unused by adam; kept for sgd option
+    optimizer: str = "adam"
+    value_loss_weight: float = 1.0
+    seed: int = 0
+    eval_every_iters: int = 50
+    eval_games: int = 32
+    eval_simulations: int = 0  # 0 → use mcts.num_simulations
+    eval_rollouts: int = 1000  # pure-MCTS anchor playouts (SURVEY.md §3.5)
+    checkpoint_every_iters: int = 50
+    total_iters: int = 1_000
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout (SURVEY.md §2 parallelism table, §5.8)."""
+
+    data: int = 1  # data-parallel axis size (envs + learner batch sharded)
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    name: str = "default"
+    env: EnvConfig = dataclasses.field(default_factory=EnvConfig)
+    net: NetConfig = dataclasses.field(default_factory=NetConfig)
+    mcts: MCTSConfig = dataclasses.field(default_factory=MCTSConfig)
+    replay: ReplayConfig = dataclasses.field(default_factory=ReplayConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "RunConfig":
+        return _from_dict(json.loads(s))
+
+    def replace(self, **kw: Any) -> "RunConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _from_dict(d: Dict[str, Any]) -> RunConfig:
+    return RunConfig(
+        name=d.get("name", "default"),
+        env=EnvConfig(**d.get("env", {})),
+        net=NetConfig(**d.get("net", {})),
+        mcts=MCTSConfig(**d.get("mcts", {})),
+        replay=ReplayConfig(**d.get("replay", {})),
+        train=TrainConfig(**d.get("train", {})),
+        mesh=MeshConfig(**d.get("mesh", {})),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Presets — one per BASELINE.json config (lines 6-12).
+# ---------------------------------------------------------------------------
+
+def smoke_9x9() -> RunConfig:
+    """BASELINE.json:7 — 9×9, 1 env, 100-sim MCTS, 4-block 64-ch net, CPU."""
+    return RunConfig(
+        name="smoke_9x9",
+        env=EnvConfig(board_size=9),
+        net=NetConfig(blocks=4, channels=64, compute_dtype="float32"),
+        mcts=MCTSConfig(num_simulations=100),
+        replay=ReplayConfig(capacity=20_000, batch_size=128, min_fill=256),
+        train=TrainConfig(num_envs=1, selfplay_plies_per_iter=81,
+                          learner_steps_per_iter=2),
+    )
+
+
+def chip_15x15() -> RunConfig:
+    """BASELINE.json:8 — 15×15, 256 lockstep envs, 400-sim MCTS, 1 chip."""
+    return RunConfig(
+        name="chip_15x15",
+        env=EnvConfig(board_size=15),
+        net=NetConfig(blocks=4, channels=64),
+        mcts=MCTSConfig(num_simulations=400),
+        train=TrainConfig(num_envs=256, selfplay_plies_per_iter=32),
+    )
+
+
+def host_15x15() -> RunConfig:
+    """BASELINE.json:9 — 15×15 full actor-learner: 2048 envs + replay +
+    data-parallel learner on one host."""
+    return RunConfig(
+        name="host_15x15",
+        env=EnvConfig(board_size=15),
+        net=NetConfig(blocks=4, channels=64),
+        mcts=MCTSConfig(num_simulations=400),
+        replay=ReplayConfig(capacity=500_000, batch_size=2_048,
+                            min_fill=16_384),
+        train=TrainConfig(num_envs=2_048, selfplay_plies_per_iter=16,
+                          learner_steps_per_iter=8),
+        mesh=MeshConfig(data=4),
+    )
+
+
+def pod_v5p16() -> RunConfig:
+    """BASELINE.json:10 — multi-host v5p-16: envs sharded over hosts feeding a
+    sharded learner synced via psum over ICI (SURVEY.md §5.8)."""
+    return RunConfig(
+        name="pod_v5p16",
+        env=EnvConfig(board_size=15),
+        net=NetConfig(blocks=4, channels=64),
+        mcts=MCTSConfig(num_simulations=400),
+        replay=ReplayConfig(capacity=1_000_000, batch_size=4_096,
+                            min_fill=32_768),
+        train=TrainConfig(num_envs=8_192, selfplay_plies_per_iter=16,
+                          learner_steps_per_iter=16),
+        mesh=MeshConfig(data=8),
+    )
+
+
+def renju_19x19() -> RunConfig:
+    """BASELINE.json:11 — 19×19 Renju-rules variant with a 10-block net,
+    stressing MCTS tree memory (SURVEY.md §5.7)."""
+    return RunConfig(
+        name="renju_19x19",
+        env=EnvConfig(board_size=19, rules=RENJU_LITE),
+        net=NetConfig(blocks=10, channels=128),
+        mcts=MCTSConfig(num_simulations=400),
+        replay=ReplayConfig(capacity=300_000, batch_size=1_024,
+                            min_fill=8_192),
+        train=TrainConfig(num_envs=512, selfplay_plies_per_iter=16),
+    )
+
+
+def tiny_test() -> RunConfig:
+    """Not a BASELINE preset: miniature config for fast unit tests."""
+    return RunConfig(
+        name="tiny_test",
+        env=EnvConfig(board_size=5, n_in_row=4),
+        net=NetConfig(blocks=1, channels=16, value_hidden=16,
+                      compute_dtype="float32"),
+        mcts=MCTSConfig(num_simulations=16, temperature_moves=4),
+        replay=ReplayConfig(capacity=1_024, batch_size=32, min_fill=32),
+        train=TrainConfig(num_envs=4, selfplay_plies_per_iter=25,
+                          learner_steps_per_iter=1, eval_games=4,
+                          eval_rollouts=8),
+    )
+
+
+PRESETS = {
+    "smoke_9x9": smoke_9x9,
+    "chip_15x15": chip_15x15,
+    "host_15x15": host_15x15,
+    "pod_v5p16": pod_v5p16,
+    "renju_19x19": renju_19x19,
+    "tiny_test": tiny_test,
+}
+
+
+def get_preset(name: str) -> RunConfig:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    return PRESETS[name]()
