@@ -1,0 +1,124 @@
+"""Scalar recursive MCTS — the correctness oracle for the array search.
+
+Mirrors the reference family's recursive select→expand→evaluate→backup
+structure (SURVEY.md §3.2) with the *exact* conventions of
+mcts/search.py, so tests can assert bit-equal visit counts on frozen
+evaluators (SURVEY.md §4 "Unit (MCTS)"). NumPy float32 throughout — the
+formulas are written with the same op order as the XLA implementation so
+f32 results match bitwise on CPU.
+
+Shared conventions (the single source of truth, also in search.py):
+  * Edge statistics N(s,a), W(s,a), P(s,a); Q = W/N (0 if N=0), W is from
+    the perspective of the player to move at s.
+  * Node visit count Ns = 1 + Σ_a N(s,a) (the node's own evaluation).
+  * PUCT score = Q + c_puct · P · √Ns / (1 + N(s,a)); illegal = -inf;
+    ties broken by lowest action index.
+  * Leaf value = (winner · to_play) for terminal leaves (handles the
+    renju_lite forbidden-move case where the mover loses), else the
+    evaluator's value, always from the leaf's to-play perspective; backup
+    flips the sign each ply.
+  * Root priors: masked softmax of evaluator logits, optionally mixed with
+    Dirichlet noise: (1-ε)·p + ε·d over legal moves.
+  * A fresh tree per move (no subtree reuse). The reference reuses subtrees
+    via `update_with_move` (SURVEY.md §2 "MCTS player"); with fixed-size
+    arrays re-rooting costs a compaction pass, and a fresh tree with the
+    same simulation budget is the standard array-MCTS design (mctx).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+from alphafive_tpu.env.scalar import ScalarGomoku
+
+# evaluator: (board_flat int8[A], to_play int, last int) -> (logits f32[A], v f32)
+Evaluator = Callable[[np.ndarray, int, int], Tuple[np.ndarray, float]]
+
+
+def masked_softmax_np(logits: np.ndarray, legal: np.ndarray) -> np.ndarray:
+    if not legal.any():  # terminal node: priors are unused, avoid 0/0
+        return np.zeros_like(logits, dtype=np.float32)
+    x = np.where(legal, logits.astype(np.float32), np.float32(-np.inf))
+    m = np.max(x)
+    ex = np.where(legal, np.exp(x - m, dtype=np.float32), np.float32(0))
+    return ex / np.sum(ex, dtype=np.float32)
+
+
+class _Node:
+    __slots__ = ("game", "prior", "n", "w", "child")
+
+    def __init__(self, game: ScalarGomoku, prior: np.ndarray):
+        self.game = game
+        self.prior = prior.astype(np.float32)  # [A]
+        a = game.num_actions
+        self.n = np.zeros(a, np.float32)
+        self.w = np.zeros(a, np.float32)
+        self.child = {}  # action -> _Node
+
+
+def run_mcts_reference(
+    game: ScalarGomoku,
+    evaluate: Evaluator,
+    num_simulations: int,
+    c_puct: float,
+    root_noise: Optional[np.ndarray] = None,
+    dirichlet_eps: float = 0.25,
+) -> Tuple[np.ndarray, float]:
+    """Returns (visit counts N(root,·) f32[A], root value estimate)."""
+    assert not game.done, "cannot search a terminal position"
+    c_puct = np.float32(c_puct)
+
+    logits, _ = evaluate(game.board.reshape(-1), game.to_play, game.last_move)
+    p = masked_softmax_np(np.asarray(logits), game.legal_mask())
+    if root_noise is not None:
+        eps = np.float32(dirichlet_eps)
+        p = (np.float32(1) - eps) * p + eps * root_noise.astype(np.float32)
+    root = _Node(game.copy(), p)
+
+    for _ in range(num_simulations):
+        node = root
+        path = []  # [(node, action)]
+        # --- select ---
+        while True:
+            if node.game.done:
+                break
+            legal = node.game.legal_mask()
+            q = np.where(node.n > 0, node.w / np.maximum(node.n, 1),
+                         np.float32(0))
+            ns = np.float32(1) + np.sum(node.n, dtype=np.float32)
+            u = c_puct * node.prior * np.sqrt(ns) / (np.float32(1) + node.n)
+            score = np.where(legal, q + u, np.float32(-np.inf))
+            a = int(np.argmax(score))
+            path.append((node, a))
+            if a not in node.child:
+                # --- expand ---
+                g = node.game.copy()
+                g.step(a)
+                cl, _cv = evaluate(g.board.reshape(-1), g.to_play, g.last_move)
+                cp = masked_softmax_np(np.asarray(cl), g.legal_mask())
+                node.child[a] = _Node(g, cp)
+                node = node.child[a]
+                break
+            node = node.child[a]
+
+        # --- evaluate leaf ---
+        g = node.game
+        if g.done:
+            v = np.float32(g.winner * g.to_play)
+        else:
+            _, v = evaluate(g.board.reshape(-1), g.to_play, g.last_move)
+            v = np.float32(v)
+
+        # --- backup (sign flip per ply) ---
+        # After the flip, v is from the parent's perspective — which is the
+        # child-perspective for the next level up, so one flip per ply.
+        for parent, a in reversed(path):
+            v = -v
+            parent.n[a] += np.float32(1)
+            parent.w[a] += v
+
+    n_sum = np.sum(root.n, dtype=np.float32)
+    root_value = (np.sum(root.w, dtype=np.float32) / n_sum) if n_sum > 0 else 0.0
+    return root.n.copy(), float(root_value)

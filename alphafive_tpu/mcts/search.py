@@ -1,0 +1,307 @@
+"""Batched on-device MCTS over fixed-size tree arrays.
+
+TPU-first replacement for the reference's recursive Python MCTS
+(SURVEY.md §3.2, BASELINE.json north star: "fully on-device batched MCTS in
+JAX — fixed-size tree arrays per env, vmapped PUCT selection/expansion/backup,
+Dirichlet root noise"). Design:
+
+  * One simulation expands exactly one node, so node ``s+1`` is pre-assigned
+    to simulation ``s`` — no dynamic allocation, no host control flow.
+  * Selection is a vmapped ``lax.while_loop`` that records the descent path
+    into fixed ``[depth_limit]`` buffers; the carried state is O(depth), not
+    the tree, so stopped lanes cost nothing.
+  * Expansion steps ALL envs' leaf states in one batched env.step; a leaf
+    that is already terminal re-uses its node (the step is a frozen no-op).
+  * Leaf evaluation batches all E envs into one network forward per
+    simulation — the reference evaluates leaves one state at a time through
+    ``session.run`` (batch size 1, its key inefficiency, SURVEY.md §3.1).
+  * Backup is a single batched scatter-add along the recorded paths with
+    sign-alternating values — no while_loop over tree-sized carries.
+
+Conventions are documented (and mirrored in NumPy) in mcts/reference.py;
+tests/test_mcts.py asserts equal visit counts on frozen evaluators.
+
+Memory (SURVEY.md §5.7): edge arrays are [E, N+1, A] (N=simulations,
+A=board²). 15×15/400 sims/256 envs ≈ 0.9 GB in f32+i32 — int8 boards and
+bf16 priors keep the 19×19/10-block config (BASELINE.json:11) in budget via
+``prior_dtype``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from alphafive_tpu.config import EnvConfig, MCTSConfig
+from alphafive_tpu.env import vector
+from alphafive_tpu.env.vector import EnvState
+
+# evaluator: (board int8[E,A], to_play int8[E], last int32[E], key)
+#            -> (logits f32[E,A], value f32[E])
+Evaluator = Callable[..., Tuple[jnp.ndarray, jnp.ndarray]]
+
+
+@struct.dataclass
+class Tree:
+    # edge stats [E, NN, A]
+    n: jnp.ndarray        # int32 visit counts
+    w: jnp.ndarray        # f32 total value (parent's to-play perspective)
+    p: jnp.ndarray        # priors (prior_dtype)
+    child: jnp.ndarray    # int32 child node index, -1 if unexpanded
+    # node stats [E, NN]
+    parent: jnp.ndarray       # int32
+    action_from: jnp.ndarray  # int32 action taken from parent
+    node_done: jnp.ndarray    # bool
+    node_winner: jnp.ndarray  # int8
+    node_to_play: jnp.ndarray  # int8
+    node_last: jnp.ndarray    # int32
+    node_count: jnp.ndarray   # int32 move count
+    node_board: jnp.ndarray   # int8 [E, NN, A]
+
+
+class SearchResult(NamedTuple):
+    visits: jnp.ndarray      # f32[E, A] root visit counts
+    root_value: jnp.ndarray  # f32[E] W(root)/N(root)
+    priors: jnp.ndarray      # f32[E, A] root priors (after noise)
+
+
+def masked_softmax(logits: jnp.ndarray, legal: jnp.ndarray) -> jnp.ndarray:
+    """Softmax over legal entries only (same op order as the NumPy oracle).
+
+    Rows with no legal action (terminal nodes — priors unused) return zeros
+    rather than NaN so JAX_DEBUG_NANS stays usable (SURVEY.md §5.2).
+    """
+    x = jnp.where(legal, logits.astype(jnp.float32), -jnp.inf)
+    m = jnp.max(x, axis=-1, keepdims=True)
+    ex = jnp.where(legal, jnp.exp(x - jnp.where(jnp.isfinite(m), m, 0.0)),
+                   0.0)
+    return ex / jnp.maximum(jnp.sum(ex, axis=-1, keepdims=True), 1e-30)
+
+
+def dirichlet_noise(key: jax.Array, alpha: float,
+                    legal: jnp.ndarray) -> jnp.ndarray:
+    """Dirichlet(α) over each env's legal moves (zero on illegal)."""
+    g = jax.random.gamma(key, alpha, shape=legal.shape, dtype=jnp.float32)
+    g = jnp.where(legal, g, 0.0)
+    return g / jnp.maximum(g.sum(-1, keepdims=True), 1e-30)
+
+
+def _tree_init(env_cfg: EnvConfig, num_envs: int, num_nodes: int,
+               prior_dtype) -> Tree:
+    e, nn, a = num_envs, num_nodes, env_cfg.num_actions
+    return Tree(
+        n=jnp.zeros((e, nn, a), jnp.int32),
+        w=jnp.zeros((e, nn, a), jnp.float32),
+        p=jnp.zeros((e, nn, a), prior_dtype),
+        child=jnp.full((e, nn, a), -1, jnp.int32),
+        parent=jnp.zeros((e, nn), jnp.int32),
+        action_from=jnp.zeros((e, nn), jnp.int32),
+        node_done=jnp.zeros((e, nn), bool),
+        node_winner=jnp.zeros((e, nn), jnp.int8),
+        node_to_play=jnp.ones((e, nn), jnp.int8),
+        node_last=jnp.full((e, nn), -1, jnp.int32),
+        node_count=jnp.zeros((e, nn), jnp.int32),
+        node_board=jnp.zeros((e, nn, a), jnp.int8),
+    )
+
+
+def _puct_scores(n_row, w_row, p_row, legal, c_puct):
+    """PUCT over one node's actions. Same op order as the NumPy oracle."""
+    nf = n_row.astype(jnp.float32)
+    q = jnp.where(nf > 0, w_row / jnp.maximum(nf, 1.0), 0.0)
+    ns = 1.0 + jnp.sum(nf, axis=-1, keepdims=True)
+    u = c_puct * p_row.astype(jnp.float32) * jnp.sqrt(ns) / (1.0 + nf)
+    return jnp.where(legal, q + u, -jnp.inf)
+
+
+def _select_one(tree_n, tree_w, tree_p, tree_child, tree_done, tree_board,
+                c_puct, depth_limit):
+    """Single-env PUCT descent. Returns (leaf_parent, action, depth,
+    path_nodes[D], path_actions[D]).
+
+    Stops at the first missing child (to expand) or at a terminal node
+    (action = -1, revisit). The path records every traversed edge INCLUDING
+    the stopping edge when expanding.
+    """
+    d = depth_limit
+
+    def cond(c):
+        return ~c[2]
+
+    def body(c):
+        cur, _, _, depth, pn, pa = c
+        term = tree_done[cur]
+        legal = tree_board[cur] == 0
+        score = _puct_scores(tree_n[cur], tree_w[cur], tree_p[cur], legal,
+                             c_puct)
+        a = jnp.argmax(score).astype(jnp.int32)
+        ch = tree_child[cur, a]
+        stop = term | (ch < 0)
+        # record edge (cur, a) unless we stopped on a terminal node
+        rec = ~term
+        pn = pn.at[depth].set(jnp.where(rec, cur, pn[depth]))
+        pa = pa.at[depth].set(jnp.where(rec, a, pa[depth]))
+        depth = depth + rec.astype(jnp.int32)
+        nxt = jnp.where(stop, cur, ch)
+        act = jnp.where(term, -1, a)
+        return (nxt, act, stop, depth, pn, pa)
+
+    init = (jnp.int32(0), jnp.int32(-1), jnp.array(False), jnp.int32(0),
+            jnp.full((d,), 0, jnp.int32), jnp.full((d,), 0, jnp.int32))
+    cur, act, _, depth, pn, pa = jax.lax.while_loop(cond, body, init)
+    return cur, act, depth, pn, pa
+
+
+def _gather_env(tree: Tree, idx: jnp.ndarray) -> EnvState:
+    """EnvState of node idx[E] in each env's tree."""
+    e = jnp.arange(idx.shape[0])
+    return EnvState(
+        board=tree.node_board[e, idx],
+        to_play=tree.node_to_play[e, idx],
+        last_move=tree.node_last[e, idx],
+        move_count=tree.node_count[e, idx],
+        done=tree.node_done[e, idx],
+        winner=tree.node_winner[e, idx],
+    )
+
+
+def run_mcts(
+    env_cfg: EnvConfig,
+    mcts_cfg: MCTSConfig,
+    evaluate: Evaluator,
+    state: EnvState,
+    key: jax.Array,
+    *,
+    num_simulations: Optional[int] = None,
+    add_noise: bool = True,
+    prior_dtype=jnp.float32,
+) -> SearchResult:
+    """Search every env's current position. Roots must not be terminal
+    (done envs are searched harmlessly but their visits are meaningless —
+    callers reset or mask them).
+    """
+    sims = int(num_simulations or mcts_cfg.num_simulations)
+    e, a = state.board.shape
+    nn = sims + 1
+    depth_limit = nn  # worst case: a single chain
+    c_puct = jnp.float32(mcts_cfg.c_puct)
+
+    key, knoise, keval = jax.random.split(key, 3)
+
+    tree = _tree_init(env_cfg, e, nn, prior_dtype)
+    # root = node 0
+    tree = tree.replace(
+        node_board=tree.node_board.at[:, 0].set(state.board),
+        node_to_play=tree.node_to_play.at[:, 0].set(state.to_play),
+        node_last=tree.node_last.at[:, 0].set(state.last_move),
+        node_count=tree.node_count.at[:, 0].set(state.move_count),
+        node_done=tree.node_done.at[:, 0].set(state.done),
+        node_winner=tree.node_winner.at[:, 0].set(state.winner),
+    )
+    root_logits, _ = evaluate(state.board, state.to_play, state.last_move,
+                              keval)
+    root_legal = state.board == 0
+    root_p = masked_softmax(root_logits, root_legal)
+    if add_noise:
+        noise = dirichlet_noise(knoise, mcts_cfg.dirichlet_alpha, root_legal)
+        eps = jnp.float32(mcts_cfg.dirichlet_eps)
+        root_p = (1.0 - eps) * root_p + eps * noise
+    tree = tree.replace(p=tree.p.at[:, 0].set(root_p.astype(prior_dtype)))
+
+    select_v = jax.vmap(_select_one, in_axes=(0, 0, 0, 0, 0, 0, None, None))
+    earange = jnp.arange(e)
+
+    def sim_body(s, carry):
+        tree, key = carry
+        key, keval = jax.random.split(key)
+
+        leaf_parent, sel_act, depth, pn, pa = select_v(
+            tree.n, tree.w, tree.p, tree.child, tree.node_done,
+            tree.node_board, c_puct, depth_limit)
+
+        is_term = sel_act < 0
+        safe_act = jnp.maximum(sel_act, 0)
+
+        # step the selected node's state; frozen no-op for terminal leaves
+        parent_state = _gather_env(tree, leaf_parent)
+        child_state = vector.step(env_cfg, parent_state, safe_act)
+
+        new = jnp.int32(s + 1)
+        leaf = jnp.where(is_term, leaf_parent, new)
+
+        # write the new node (harmless orphan write for terminal lanes)
+        tree = tree.replace(
+            node_board=tree.node_board.at[:, new].set(child_state.board),
+            node_to_play=tree.node_to_play.at[:, new].set(child_state.to_play),
+            node_last=tree.node_last.at[:, new].set(child_state.last_move),
+            node_count=tree.node_count.at[:, new].set(child_state.move_count),
+            node_done=tree.node_done.at[:, new].set(child_state.done),
+            node_winner=tree.node_winner.at[:, new].set(child_state.winner),
+            parent=tree.parent.at[:, new].set(leaf_parent),
+            action_from=tree.action_from.at[:, new].set(safe_act),
+            # link parent -> child only for expanding lanes
+            child=tree.child.at[earange, leaf_parent, safe_act].set(
+                jnp.where(is_term,
+                          tree.child[earange, leaf_parent, safe_act], new)),
+        )
+
+        # one batched evaluation per simulation (E leaves at once)
+        logits, v = evaluate(child_state.board, child_state.to_play,
+                             child_state.last_move, keval)
+        leaf_value = jnp.where(
+            child_state.done,
+            (child_state.winner * child_state.to_play).astype(jnp.float32),
+            v.astype(jnp.float32))
+        child_p = masked_softmax(logits, child_state.board == 0)
+        tree = tree.replace(p=tree.p.at[:, new].set(
+            child_p.astype(prior_dtype)))
+
+        # batched backup: edge j on the path (0-based from root, depth L)
+        # accumulates leaf_value * (-1)^(L - j)
+        dn = jnp.arange(depth_limit)[None, :]                  # [1, D]
+        on_path = dn < depth[:, None]                          # [E, D]
+        exp_ = (depth[:, None] - dn).astype(jnp.int32)
+        sign = jnp.where(exp_ % 2 == 0, 1.0, -1.0)
+        vals = jnp.where(on_path, sign * leaf_value[:, None], 0.0)
+        incr = on_path.astype(jnp.int32)
+        tree = tree.replace(
+            n=tree.n.at[earange[:, None], pn, pa].add(incr),
+            w=tree.w.at[earange[:, None], pn, pa].add(vals),
+        )
+        return tree, key
+
+    tree, _ = jax.lax.fori_loop(0, sims, sim_body, (tree, key))
+
+    visits = tree.n[:, 0, :].astype(jnp.float32)
+    n_sum = visits.sum(-1)
+    root_value = jnp.where(n_sum > 0, tree.w[:, 0, :].sum(-1)
+                           / jnp.maximum(n_sum, 1.0), 0.0)
+    return SearchResult(visits=visits, root_value=root_value,
+                        priors=root_p)
+
+
+def pi_from_visits(visits: jnp.ndarray, temperature: jnp.ndarray,
+                   greedy: jnp.ndarray) -> jnp.ndarray:
+    """π ∝ N^(1/τ), in log space; greedy[E] lanes get one-hot argmax.
+
+    Matches the reference family's visit-count→π with temperature decay
+    (SURVEY.md §2 "MCTS player").
+    """
+    logn = jnp.where(visits > 0, jnp.log(visits), -jnp.inf)
+    scaled = logn / jnp.maximum(temperature[:, None], 1e-6)
+    scaled = scaled - scaled.max(-1, keepdims=True)
+    pi = jnp.where(jnp.isfinite(scaled), jnp.exp(scaled), 0.0)
+    pi = pi / jnp.maximum(pi.sum(-1, keepdims=True), 1e-30)
+    onehot = jax.nn.one_hot(jnp.argmax(visits, axis=-1), visits.shape[-1])
+    return jnp.where(greedy[:, None], onehot, pi)
+
+
+def sample_actions(key: jax.Array, pi: jnp.ndarray) -> jnp.ndarray:
+    """Sample one action per env from π (guarded against all-zero rows)."""
+    logits = jnp.where(pi > 0, jnp.log(pi), -jnp.inf)
+    safe = jnp.where(jnp.isfinite(logits).any(-1, keepdims=True), logits, 0.0)
+    return jax.random.categorical(key, safe, axis=-1).astype(jnp.int32)

@@ -1,0 +1,151 @@
+"""Array MCTS vs scalar recursive oracle: bit-equal visit counts on frozen
+evaluators (SURVEY.md §4 "Unit (MCTS)"), plus tactical sanity and the
+π/temperature helpers.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alphafive_tpu.config import EnvConfig, MCTSConfig
+from alphafive_tpu.env import vector
+from alphafive_tpu.env.scalar import ScalarGomoku
+from alphafive_tpu.mcts import reference, search
+from alphafive_tpu.models.evaluator import uniform_evaluator
+
+
+# ---------------------------------------------------------------------------
+# A frozen evaluator computable bit-identically in NumPy and XLA:
+# integer arithmetic on the board, then one exact float division.
+# ---------------------------------------------------------------------------
+
+def _int_value(board_i32, size):
+    weights = (np.arange(size * size) % 5 - 2).astype(np.int64)
+    s = int(np.sum(board_i32.astype(np.int64) * weights))
+    return np.float32((s % 7) - 3) / np.float32(8)
+
+
+def np_eval(size):
+    def evaluate(board, to_play, last):
+        del to_play, last
+        return (np.zeros(size * size, np.float32),
+                _int_value(board.astype(np.int32), size))
+    return evaluate
+
+
+def jax_eval(size):
+    weights = jnp.asarray((np.arange(size * size) % 5 - 2).astype(np.int32))
+
+    def evaluate(board, to_play, last, key):
+        del to_play, last, key
+        s = jnp.sum(board.astype(jnp.int32) * weights[None, :], axis=-1)
+        v = ((s % 7) - 3).astype(jnp.float32) / jnp.float32(8)
+        return jnp.zeros((board.shape[0], size * size), jnp.float32), v
+    return evaluate
+
+
+def random_midgame(size, n_in_row, plies, seed):
+    for s in range(seed, seed + 50):  # retry seeds that end early
+        g = ScalarGomoku(size, n_in_row)
+        rng = np.random.default_rng(s)
+        for _ in range(plies):
+            la = g.legal_actions()
+            g.step(int(la[rng.integers(len(la))]))
+            if g.done:
+                break
+        if not g.done:
+            return g
+    raise AssertionError("no live midgame position found")
+
+
+def to_env_state(games):
+    size = games[0].size
+    return vector.EnvState(
+        board=jnp.asarray(np.stack([g.board.reshape(-1) for g in games])),
+        to_play=jnp.asarray(np.array([g.to_play for g in games], np.int8)),
+        last_move=jnp.asarray(np.array([g.last_move for g in games],
+                                       np.int32)),
+        move_count=jnp.asarray(np.array([g.move_count for g in games],
+                                        np.int32)),
+        done=jnp.zeros((len(games),), bool),
+        winner=jnp.zeros((len(games),), jnp.int8),
+    )
+
+
+@pytest.mark.parametrize("size,n_in_row,sims,plies", [
+    (5, 4, 60, 0),    # empty board
+    (5, 4, 60, 8),    # midgame
+    (5, 4, 120, 18),  # near-endgame: terminal leaves get revisited
+    (9, 5, 50, 10),
+])
+def test_visit_count_parity(size, n_in_row, sims, plies):
+    env_cfg = EnvConfig(board_size=size, n_in_row=n_in_row)
+    mcts_cfg = MCTSConfig(num_simulations=sims, c_puct=5.0)
+    games = [random_midgame(size, n_in_row, plies, seed)
+             for seed in (1, 2, 3, 4)]
+    state = to_env_state(games)
+
+    run = jax.jit(functools.partial(
+        search.run_mcts, env_cfg, mcts_cfg, jax_eval(size),
+        add_noise=False))
+    res = run(state, jax.random.key(0))
+    visits = np.asarray(res.visits)
+    root_vals = np.asarray(res.root_value)
+
+    for i, g in enumerate(games):
+        ref_n, ref_v = reference.run_mcts_reference(
+            g, np_eval(size), sims, c_puct=5.0, root_noise=None)
+        np.testing.assert_array_equal(visits[i], ref_n, err_msg=f"env {i}")
+        np.testing.assert_allclose(root_vals[i], ref_v, rtol=1e-5)
+
+
+def test_win_in_one_found():
+    # black: 3 in a row open at both ends on 5x5 (n=4); 44 must dominate
+    env_cfg = EnvConfig(board_size=5, n_in_row=4)
+    mcts_cfg = MCTSConfig(num_simulations=100)
+    g = ScalarGomoku(5, 4)
+    for m in [6, 0, 7, 1, 8]:  # black 6,7,8 (row 1); white 0,1
+        g.step(m)
+    g.step(2)  # white elsewhere; black to move, 5 or 9 completes 4-in-row
+    state = to_env_state([g])
+    run = jax.jit(functools.partial(
+        search.run_mcts, env_cfg, mcts_cfg, uniform_evaluator(env_cfg),
+        add_noise=False))
+    res = run(state, jax.random.key(1))
+    v = np.asarray(res.visits)[0]
+    winning = {5, 9}
+    assert int(np.argmax(v)) in winning, v.reshape(5, 5)
+    assert v[list(winning)].sum() > 0.5 * v.sum()
+    assert float(res.root_value[0]) >= 0.4  # root should look winning
+
+
+def test_dirichlet_noise_legal_only():
+    env_cfg = EnvConfig(board_size=5, n_in_row=4)
+    legal = jnp.asarray(np.array([[True] * 20 + [False] * 5]))
+    noise = search.dirichlet_noise(jax.random.key(0), 0.3, legal)
+    n = np.asarray(noise)[0]
+    assert abs(n.sum() - 1) < 1e-5
+    assert (n[20:] == 0).all() and (n[:20] > 0).all()
+
+
+def test_pi_from_visits_temperature():
+    visits = jnp.asarray([[8.0, 2.0, 0.0, 0.0]])
+    pi1 = search.pi_from_visits(visits, jnp.array([1.0]),
+                                jnp.array([False]))
+    np.testing.assert_allclose(np.asarray(pi1)[0], [0.8, 0.2, 0, 0],
+                               atol=1e-6)
+    pig = search.pi_from_visits(visits, jnp.array([1.0]), jnp.array([True]))
+    np.testing.assert_array_equal(np.asarray(pig)[0], [1, 0, 0, 0])
+    # low temperature sharpens
+    pis = search.pi_from_visits(visits, jnp.array([0.25]),
+                                jnp.array([False]))
+    assert float(pis[0, 0]) > 0.99
+
+
+def test_sample_actions_respects_support():
+    pi = jnp.asarray(np.tile(np.array([[0.0, 0.0, 1.0, 0.0]]), (64, 1)))
+    acts = search.sample_actions(jax.random.key(0), pi)
+    assert (np.asarray(acts) == 2).all()
