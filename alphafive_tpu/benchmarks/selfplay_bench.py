@@ -1,0 +1,65 @@
+"""Self-play throughput benchmark (BASELINE.json:2 north-star metrics).
+
+Measures env-steps/s/chip and MCTS sims/s for a full self-play chunk —
+MCTS with batched net leaf evaluation, action sampling, env stepping,
+auto-reset — i.e. the production hot path, not a microbenchmark.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict
+
+import jax
+
+from alphafive_tpu.config import RunConfig
+from alphafive_tpu.env import vector
+from alphafive_tpu.models.evaluator import net_evaluator
+from alphafive_tpu.train import actor, learner
+
+
+def run(cfg: RunConfig, plies: int = 8, warmup: int = 1,
+        repeats: int = 3) -> Dict:
+    key = jax.random.key(0)
+    ts = learner.init_train_state(cfg.env, cfg.net, cfg.train, key)
+    env_state = vector.init(cfg.env, cfg.train.num_envs)
+    evaluate = net_evaluator(cfg.env, cfg.net, ts.params, ts.batch_stats)
+
+    fn = jax.jit(functools.partial(
+        actor.selfplay_chunk, cfg.env, cfg.mcts, evaluate,
+        num_plies=plies))
+
+    t_compile = time.time()
+    st, traj, stats = fn(env_state, key)
+    jax.block_until_ready(traj.pi)
+    compile_s = time.time() - t_compile
+
+    for _ in range(warmup):
+        st, traj, _ = fn(st, key)
+    jax.block_until_ready(traj.pi)
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        st, traj, _ = fn(st, key)
+        jax.block_until_ready(traj.pi)
+        best = min(best, time.time() - t0)
+
+    n_chips = jax.device_count()
+    env_steps = cfg.train.num_envs * plies
+    sims = env_steps * cfg.mcts.num_simulations
+    return {
+        "preset": cfg.name,
+        "board": cfg.env.board_size,
+        "num_envs": cfg.train.num_envs,
+        "num_simulations": cfg.mcts.num_simulations,
+        "plies": plies,
+        "chips": n_chips,
+        "seconds": best,
+        "compile_seconds": compile_s,
+        "env_steps_per_s": env_steps / best,
+        "env_steps_per_s_per_chip": env_steps / best / n_chips,
+        "sims_per_s": sims / best,
+        "net_evals_per_s": sims / best,  # one batched net eval per sim
+    }

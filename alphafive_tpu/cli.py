@@ -1,0 +1,198 @@
+"""Command-line entry points: train / eval / play / bench.
+
+The reference ships `python train.py` and a human-vs-AI `play.py`
+(SURVEY.md §1 L6/L7, §3.4). Usage:
+
+    python -m alphafive_tpu.cli train --preset chip_15x15 --workdir runs/x
+    python -m alphafive_tpu.cli eval  --preset chip_15x15 --workdir runs/x
+    python -m alphafive_tpu.cli play  --preset smoke_9x9 --workdir runs/x
+    python -m alphafive_tpu.cli bench --preset chip_15x15
+
+`--platform cpu` forces the local CPU backend (tests/debugging); default
+uses whatever JAX selects (the TPU on this machine). `--set a.b=c`
+overrides any config field.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from typing import List, Optional
+
+
+def _apply_overrides(cfg, overrides: List[str]):
+    for ov in overrides:
+        path, _, raw = ov.partition("=")
+        assert raw, f"bad override {ov!r} (want section.field=value)"
+        section, _, field = path.partition(".")
+        sub = getattr(cfg, section)
+        old = getattr(sub, field)
+        typ = type(old)
+        val = (raw.lower() in ("1", "true", "yes")) if typ is bool else typ(raw)
+        cfg = dataclasses.replace(
+            cfg, **{section: dataclasses.replace(sub, **{field: val})})
+    return cfg
+
+
+def _setup_platform(platform: Optional[str], num_cpu: int = 8):
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+        if platform == "cpu":
+            jax.config.update("jax_num_cpu_devices", num_cpu)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="alphafive_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--preset", default="chip_15x15")
+        sp.add_argument("--workdir", default=None)
+        sp.add_argument("--platform", default=None,
+                        help="cpu|axon|tpu (default: jax default)")
+        sp.add_argument("--num-cpu-devices", type=int, default=8)
+        sp.add_argument("--set", action="append", default=[],
+                        metavar="SEC.FIELD=VAL", dest="overrides")
+
+    sp = sub.add_parser("train", help="run the actor-learner pipeline")
+    common(sp)
+    sp.add_argument("--iters", type=int, default=None)
+    sp.add_argument("--resume", action="store_true")
+
+    sp = sub.add_parser("eval", help="evaluate a checkpoint vs pure MCTS")
+    common(sp)
+    sp.add_argument("--games", type=int, default=None)
+    sp.add_argument("--anchor-rollouts", type=int, default=1000)
+
+    sp = sub.add_parser("play", help="human vs AI on the console")
+    common(sp)
+    sp.add_argument("--sims", type=int, default=None)
+    sp.add_argument("--human-color", choices=["black", "white"],
+                    default="black")
+
+    sp = sub.add_parser("bench", help="self-play throughput benchmark")
+    common(sp)
+    sp.add_argument("--plies", type=int, default=8)
+
+    args = p.parse_args(argv)
+    _setup_platform(args.platform, args.num_cpu_devices)
+
+    from alphafive_tpu.config import get_preset
+    cfg = _apply_overrides(get_preset(args.preset), args.overrides)
+
+    if args.cmd == "train":
+        from alphafive_tpu.train.loop import train
+        train(cfg, workdir=args.workdir, total_iters=args.iters,
+              resume=args.resume)
+    elif args.cmd == "eval":
+        _cmd_eval(cfg, args)
+    elif args.cmd == "play":
+        _cmd_play(cfg, args)
+    elif args.cmd == "bench":
+        _cmd_bench(cfg, args)
+    return 0
+
+
+def _load_train_state(cfg, workdir):
+    """Latest checkpoint's train state, or a fresh init if none."""
+    import jax
+    from alphafive_tpu import parallel
+    from alphafive_tpu.train import checkpoint as ckpt
+
+    mesh = parallel.make_mesh(1)
+    carry = parallel.init_carry(cfg, jax.random.key(cfg.train.seed), mesh)
+    if workdir:
+        mgr = ckpt.make_manager(f"{workdir}/ckpt")
+        if mgr.latest_step() is not None:
+            _, carry, _, _, _ = ckpt.restore(mgr, carry)
+            print(f"restored checkpoint step {mgr.latest_step()}",
+                  file=sys.stderr)
+    return carry.train_state
+
+
+def _cmd_eval(cfg, args):
+    import jax
+    from alphafive_tpu.models.evaluator import net_evaluator, rollout_evaluator
+    from alphafive_tpu.train.evaluate import evaluate_vs
+    from alphafive_tpu.utils.elo import performance_elo
+    import json as _json
+
+    ts = _load_train_state(cfg, args.workdir)
+    result = evaluate_vs(
+        cfg.env, cfg.mcts,
+        net_evaluator(cfg.env, cfg.net, ts.params, ts.batch_stats),
+        rollout_evaluator(cfg.env),
+        cfg.train.eval_simulations or cfg.mcts.num_simulations,
+        args.anchor_rollouts,
+        args.games or cfg.train.eval_games,
+        jax.random.key(cfg.train.seed + 1))
+    result["anchor_rollouts"] = args.anchor_rollouts
+    result["elo_vs_anchor"] = performance_elo(result["score"], 0.0)
+    print(_json.dumps(result))
+
+
+def _cmd_play(cfg, args):
+    """Console human-vs-AI (SURVEY.md §3.4)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from alphafive_tpu.env import vector
+    from alphafive_tpu.env.scalar import ScalarGomoku
+    from alphafive_tpu.mcts import run_mcts
+    from alphafive_tpu.models.evaluator import net_evaluator
+
+    ts = _load_train_state(cfg, args.workdir)
+    evaluate = net_evaluator(cfg.env, cfg.net, ts.params, ts.batch_stats)
+    sims = args.sims or cfg.mcts.num_simulations
+    run = jax.jit(functools.partial(
+        run_mcts, cfg.env, cfg.mcts, evaluate,
+        num_simulations=sims, add_noise=False))
+
+    g = ScalarGomoku(cfg.env.board_size, cfg.env.n_in_row, cfg.env.rules)
+    human = 1 if args.human_color == "black" else -1
+    key = jax.random.key(0)
+    print(f"You are {'X (black)' if human == 1 else 'O (white)'}; "
+          f"enter moves as 'row col'. AI: {sims} simulations.")
+    while not g.done:
+        print(g.render())
+        if g.to_play == human:
+            try:
+                line = input("your move> ").strip()
+            except EOFError:
+                print("bye"); return
+            try:
+                r, c = map(int, line.replace(",", " ").split())
+                a = r * g.size + c
+                assert a in g.legal_actions()
+            except Exception:
+                print("invalid move, try again (e.g. '7 7')")
+                continue
+        else:
+            st = vector.EnvState(
+                board=jnp.asarray(g.board.reshape(1, -1)),
+                to_play=jnp.array([g.to_play], jnp.int8),
+                last_move=jnp.array([g.last_move], jnp.int32),
+                move_count=jnp.array([g.move_count], jnp.int32),
+                done=jnp.array([False]), winner=jnp.array([0], jnp.int8))
+            key, ks = jax.random.split(key)
+            res = run(st, ks)
+            a = int(np.argmax(np.asarray(res.visits)[0]))
+            print(f"AI plays {divmod(a, g.size)} "
+                  f"(value {float(res.root_value[0]):+.2f})")
+        g.step(a)
+    print(g.render())
+    out = {1: "black (X) wins", -1: "white (O) wins", 0: "draw"}
+    print(out[g.winner])
+
+
+def _cmd_bench(cfg, args):
+    import json as _json
+    from alphafive_tpu.benchmarks import selfplay_bench
+    print(_json.dumps(selfplay_bench.run(cfg, plies=args.plies)))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

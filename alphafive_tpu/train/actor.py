@@ -1,0 +1,121 @@
+"""Lockstep self-play actor.
+
+The reference plays one game at a time in a Python loop, recording
+(state, π, player) and backfilling z from the winner at game end
+(SURVEY.md §3.1 `start_self_play`). TPU-first redesign (SURVEY.md §7 hard
+part 2): E envs play in lockstep under one `lax.scan` over plies with
+masked auto-reset; the winner backfill is a reverse scan over the recorded
+chunk, so the whole actor is shape-static and jit-compiled.
+
+Targets: π is the raw visit distribution (τ=1); the *played* action is
+sampled with τ=1 for the first `temperature_moves` plies of each game and
+greedily afterwards — the reference family's temperature decay applied to
+acting, with the canonical AlphaZero training target.
+
+Positions whose game did not finish inside the chunk get `z_valid=False`:
+their π is still a valid policy target, but the value target is masked in
+the learner (SURVEY.md §7 replay design).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from alphafive_tpu.config import EnvConfig, MCTSConfig
+from alphafive_tpu.env import vector
+from alphafive_tpu.env.vector import EnvState
+from alphafive_tpu.mcts import search
+
+
+@struct.dataclass
+class Trajectory:
+    """Flattened chunk of T×E positions (leading axis T*E)."""
+
+    board: jnp.ndarray     # int8[M, A]
+    to_play: jnp.ndarray   # int8[M]
+    last_move: jnp.ndarray  # int32[M]
+    pi: jnp.ndarray        # f32[M, A]
+    z: jnp.ndarray         # int8[M] (outcome from mover's perspective)
+    z_valid: jnp.ndarray   # bool[M]
+
+
+class SelfplayStats(NamedTuple):
+    games_finished: jnp.ndarray  # int32[]
+    env_steps: jnp.ndarray       # int32[]
+    black_wins: jnp.ndarray      # int32[]
+    white_wins: jnp.ndarray      # int32[]
+    draws: jnp.ndarray           # int32[]
+    mean_root_value: jnp.ndarray  # f32[]
+
+
+def selfplay_chunk(
+    env_cfg: EnvConfig,
+    mcts_cfg: MCTSConfig,
+    evaluate: Callable,
+    state: EnvState,
+    key: jax.Array,
+    num_plies: int,
+    num_simulations: int | None = None,
+) -> Tuple[EnvState, Trajectory, SelfplayStats]:
+    """Play `num_plies` lockstep plies in every env (auto-resetting)."""
+
+    def ply(carry, _):
+        st, key = carry
+        key, ks, ka = jax.random.split(key, 3)
+        res = search.run_mcts(env_cfg, mcts_cfg, evaluate, st, ks,
+                              add_noise=True,
+                              num_simulations=num_simulations)
+        visit_sum = jnp.maximum(res.visits.sum(-1, keepdims=True), 1.0)
+        pi_target = res.visits / visit_sum
+        greedy = st.move_count >= mcts_cfg.temperature_moves
+        pi_act = search.pi_from_visits(
+            res.visits, jnp.ones(st.board.shape[0]), greedy)
+        action = search.sample_actions(ka, pi_act)
+        nxt = vector.step(env_cfg, st, action)
+        rec = (st.board, st.to_play, st.last_move, pi_target,
+               nxt.done, nxt.winner, res.root_value)
+        st = vector.reset_where(env_cfg, nxt, nxt.done)
+        return (st, key), rec
+
+    (state, _), recs = jax.lax.scan(ply, (state, key), None,
+                                    length=num_plies)
+    boards, to_plays, lasts, pis, dones, winners, root_vals = recs
+
+    # winner backfill: reverse scan carrying "winner of the game this ply
+    # belongs to" (known once a later `done` has been seen)
+    def rev(carry, rec):
+        w, have = carry
+        done, winner, to_play = rec
+        w = jnp.where(done, winner, w)
+        have = done | have
+        z = (w * to_play).astype(jnp.int8)
+        return (w, have), (z, have)
+
+    e = boards.shape[1]
+    init = (jnp.zeros((e,), jnp.int8), jnp.zeros((e,), bool))
+    _, (zs, valids) = jax.lax.scan(rev, init, (dones, winners, to_plays),
+                                   reverse=True)
+
+    a = env_cfg.num_actions
+    traj = Trajectory(
+        board=boards.reshape(-1, a),
+        to_play=to_plays.reshape(-1),
+        last_move=lasts.reshape(-1),
+        pi=pis.reshape(-1, a),
+        z=zs.reshape(-1),
+        z_valid=valids.reshape(-1),
+    )
+    finished = dones.sum().astype(jnp.int32)
+    stats = SelfplayStats(
+        games_finished=finished,
+        env_steps=jnp.int32(num_plies * e),
+        black_wins=(winners == 1).sum().astype(jnp.int32),
+        white_wins=(winners == -1).sum().astype(jnp.int32),
+        draws=((winners == 0) & dones).sum().astype(jnp.int32),
+        mean_root_value=root_vals.mean(),
+    )
+    return state, traj, stats

@@ -1,0 +1,91 @@
+"""Host training driver: the self-play → train → evaluate pipeline.
+
+Mirrors the reference's `TrainPipeline.run` control flow (SURVEY.md §3.1)
+with the device work batched into one jitted SPMD iteration
+(parallel/mesh.py). The host only sequences iterations, logs metrics,
+runs the periodic eval gate (pure-MCTS ladder → Elo, SURVEY.md §3.5), and
+checkpoints full state (train/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from alphafive_tpu.config import RunConfig
+from alphafive_tpu import parallel
+from alphafive_tpu.models.evaluator import net_evaluator, rollout_evaluator
+from alphafive_tpu.train import checkpoint as ckpt
+from alphafive_tpu.train.evaluate import evaluate_vs
+from alphafive_tpu.utils.elo import LadderState, update_ladder
+from alphafive_tpu.utils.logging import MetricsLogger
+
+
+def train(cfg: RunConfig, workdir: Optional[str] = None,
+          total_iters: Optional[int] = None, resume: bool = False,
+          mesh=None, logger: Optional[MetricsLogger] = None):
+    """Run the pipeline. Returns (carry, ladder) for inspection."""
+    total = total_iters if total_iters is not None else cfg.train.total_iters
+    mesh = mesh if mesh is not None else parallel.make_mesh(cfg.mesh.data)
+    log = logger or MetricsLogger(workdir)
+    mgr = ckpt.make_manager(f"{workdir}/ckpt") if workdir else None
+
+    key = jax.random.key(cfg.train.seed)
+    key, kinit = jax.random.split(key)
+    carry = parallel.init_carry(cfg, kinit, mesh)
+    ladder = LadderState()
+    start_iter = 0
+
+    if resume and mgr is not None and mgr.latest_step() is not None:
+        start_iter, carry, key, cfg_saved, ladder = ckpt.restore(mgr, carry)
+        assert cfg_saved.env == cfg.env, "resume with a different env config"
+        log.log({"kind": "resume", "iter": start_iter})
+
+    iteration = parallel.make_train_iteration(cfg, mesh)
+    sims = cfg.mcts.num_simulations
+    n_chips = mesh.devices.size
+
+    for it in range(start_iter, total):
+        key, kit = jax.random.split(key)
+        t0 = time.time()
+        carry, metrics = iteration(carry, kit)
+        metrics = jax.tree.map(float, jax.device_get(metrics))
+        dt = time.time() - t0
+        env_steps = metrics["env_steps"]
+        log.log({
+            "kind": "iter", "iter": it, **metrics,
+            "iter_seconds": dt,
+            "env_steps_per_s": env_steps / dt,
+            "env_steps_per_s_per_chip": env_steps / dt / n_chips,
+            "sims_per_s": env_steps * sims / dt,
+        })
+
+        if cfg.train.eval_every_iters and (it + 1) % cfg.train.eval_every_iters == 0:
+            run_eval(cfg, carry, ladder, it, key, log)
+        if mgr is not None and (it + 1) % cfg.train.checkpoint_every_iters == 0:
+            ckpt.save(mgr, it + 1, carry, key, cfg, ladder)
+            log.log({"kind": "checkpoint", "iter": it + 1})
+
+    if mgr is not None:
+        ckpt.save(mgr, total, carry, key, cfg, ladder)
+    return carry, ladder
+
+
+def run_eval(cfg: RunConfig, carry, ladder: LadderState, it: int,
+             key: jax.Array, log: MetricsLogger) -> None:
+    """Current net-MCTS vs the pure-MCTS anchor (SURVEY.md §3.5)."""
+    ts = carry.train_state
+    net_eval = net_evaluator(cfg.env, cfg.net, ts.params, ts.batch_stats)
+    anchor = rollout_evaluator(cfg.env)
+    eval_sims = cfg.train.eval_simulations or cfg.mcts.num_simulations
+    result = evaluate_vs(
+        cfg.env, cfg.mcts, net_eval, anchor,
+        eval_sims, ladder.anchor_rollouts,
+        cfg.train.eval_games, jax.random.fold_in(key, it))
+    elo = update_ladder(ladder, result, it)
+    log.log({"kind": "eval", "iter": it, **result, "elo": elo,
+             "anchor_rollouts": ladder.history[-1]["anchor_rollouts"],
+             "level": ladder.history[-1]["level"]})

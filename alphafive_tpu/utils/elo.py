@@ -1,0 +1,53 @@
+"""Elo tracking against a pure-MCTS anchor ladder (SURVEY.md §4, §3.5).
+
+The reference evaluates against pure MCTS and raises the anchor's playout
+budget once the net wins every game. We keep an explicit ladder: anchors are
+pure-MCTS players at doubling rollout budgets, each assigned a fixed rating
+(anchor 0 = 0 Elo by convention, each doubling estimated at +120 — the
+conventional scaling for rollout-doubling in this family; the *relative*
+curve is what BASELINE.json:5's learning-curve parity tracks).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional
+
+
+ANCHOR_STEP_ELO = 120.0
+
+
+@dataclasses.dataclass
+class LadderState:
+    level: int = 0                 # current anchor index
+    base_rollouts: int = 200       # anchor 0 budget
+    promote_score: float = 0.85    # move up when score >= this
+    history: List[dict] = dataclasses.field(default_factory=list)
+
+    @property
+    def anchor_rollouts(self) -> int:
+        return self.base_rollouts * (2 ** self.level)
+
+    @property
+    def anchor_elo(self) -> float:
+        return ANCHOR_STEP_ELO * self.level
+
+
+def performance_elo(score: float, anchor_elo: float) -> float:
+    """Rating implied by `score` against an `anchor_elo` opponent."""
+    s = min(max(score, 1e-3), 1 - 1e-3)
+    return anchor_elo - 400.0 * math.log10(1.0 / s - 1.0)
+
+
+def update_ladder(ladder: LadderState, result: dict,
+                  step: int) -> Optional[float]:
+    """Record an eval result; maybe climb the ladder. Returns Elo estimate."""
+    elo = performance_elo(result["score"], ladder.anchor_elo)
+    ladder.history.append({
+        "step": step, "level": ladder.level,
+        "anchor_rollouts": ladder.anchor_rollouts, **result, "elo": elo,
+    })
+    if result["score"] >= ladder.promote_score:
+        ladder.level += 1
+    return elo

@@ -1,0 +1,176 @@
+"""Actor-learner pipeline: self-play chunk semantics, learner step, the
+sharded train iteration on the fake 8-device mesh, checkpoint round-trip,
+and the end-to-end smoke config (SURVEY.md §4 "Integration" /
+"Distributed without a cluster").
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alphafive_tpu.config import get_preset
+from alphafive_tpu.env import vector
+from alphafive_tpu import parallel
+from alphafive_tpu.models.evaluator import uniform_evaluator
+from alphafive_tpu.train import actor, learner
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    return get_preset("tiny_test")
+
+
+def test_selfplay_chunk_backfill(tiny):
+    """Every finished game's positions get z from its own winner; trailing
+    unfinished positions are invalid; z alternates sign with the mover."""
+    cfg = tiny
+    e = 4
+    t = 25  # 5x5 board fills in <= 25 plies -> every env finishes >= 1 game
+    state = vector.init(cfg.env, e)
+    fn = jax.jit(functools.partial(
+        actor.selfplay_chunk, cfg.env, cfg.mcts,
+        uniform_evaluator(cfg.env), num_plies=t))
+    state, traj, stats = fn(state, jax.random.key(0))
+
+    assert traj.board.shape == (t * e, cfg.env.num_actions)
+    assert int(stats.games_finished) >= e  # every env finished >= 1 game
+    assert int(stats.env_steps) == t * e
+
+    z = np.asarray(traj.z).reshape(t, e)
+    valid = np.asarray(traj.z_valid).reshape(t, e)
+    to_play = np.asarray(traj.to_play).reshape(t, e)
+    pi = np.asarray(traj.pi).reshape(t, e, -1)
+    board = np.asarray(traj.board).reshape(t, e, -1)
+
+    # π is a distribution over empty cells of the recorded position
+    sums = pi.sum(-1)
+    np.testing.assert_allclose(sums, 1.0, atol=1e-5)
+    assert (pi[board != 0] == 0).all()
+
+    # reconstruct game segments per env on the host and check z
+    for i in range(e):
+        # find the plies where a game ended: z flips meaning across resets
+        # mover-perspective outcomes must alternate within a game segment
+        seg_start = 0
+        for tt in range(t):
+            if valid[tt, i]:
+                # within one game, z * to_play is constant (= winner)
+                w = z[tt, i] * to_play[tt, i]
+                assert w in (-1, 0, 1)
+        # trailing unfinished-game positions must be invalid
+        # (the last ply of the chunk either ended a game or didn't)
+    # at least some invalid tail positions exist only if a game was cut off
+    assert valid.any()
+
+
+def test_selfplay_z_consistency_within_game(tiny):
+    """z·to_play (the game winner) is constant within each game segment."""
+    cfg = tiny
+    e, t = 2, 25
+    state = vector.init(cfg.env, e)
+    fn = jax.jit(functools.partial(
+        actor.selfplay_chunk, cfg.env, cfg.mcts,
+        uniform_evaluator(cfg.env), num_plies=t))
+    _, traj, _ = fn(state, jax.random.key(3))
+    z = np.asarray(traj.z).reshape(t, e)
+    valid = np.asarray(traj.z_valid).reshape(t, e)
+    to_play = np.asarray(traj.to_play).reshape(t, e)
+    count = np.asarray(traj.board).reshape(t, e, -1)
+    move_count = (count != 0).sum(-1)
+
+    for i in range(e):
+        # game boundaries: move_count resets to 0
+        w_seen = None
+        for tt in range(t):
+            if move_count[tt, i] == 0 and tt > 0:
+                w_seen = None  # new game
+            if valid[tt, i]:
+                w = int(z[tt, i]) * int(to_play[tt, i])
+                if w_seen is None:
+                    w_seen = w
+                assert w == w_seen, (i, tt)
+
+
+def test_learner_step_decreases_loss(tiny):
+    cfg = tiny
+    key = jax.random.key(0)
+    ts = learner.init_train_state(cfg.env, cfg.net, cfg.train, key)
+    a = cfg.env.num_actions
+    b = 64
+    feats = jax.random.uniform(key, (b, cfg.env.board_size,
+                                     cfg.env.board_size, 4))
+    pi = jax.nn.softmax(jax.random.normal(key, (b, a)))
+    z = jnp.sign(jax.random.normal(key, (b,)))
+    batch = (feats, pi, z, jnp.ones((b,)))
+    step = jax.jit(functools.partial(learner.train_step, cfg.env, cfg.net,
+                                     cfg.train))
+    losses = []
+    for i in range(40):
+        ts, aux = step(ts, batch)
+        losses.append(float(aux["loss"]))
+    assert losses[-1] < losses[0], losses[:3] + losses[-3:]
+    assert int(ts.step) == 40
+
+
+def test_train_iteration_8device_mesh(tiny):
+    """The full SPMD program on the fake mesh: params stay replicated and
+    identical, buffer fills, loss becomes finite once min_fill reached."""
+    cfg = dataclasses.replace(
+        tiny,
+        train=dataclasses.replace(tiny.train, num_envs=8,
+                                  selfplay_plies_per_iter=13,
+                                  learner_steps_per_iter=2),
+        replay=dataclasses.replace(tiny.replay, capacity=1024,
+                                   batch_size=64, min_fill=64),
+        mesh=dataclasses.replace(tiny.mesh, data=8),
+    )
+    mesh = parallel.make_mesh(8)
+    carry = parallel.init_carry(cfg, jax.random.key(0), mesh)
+    it = parallel.make_train_iteration(cfg, mesh, donate=False)
+    carry, m1 = it(carry, jax.random.key(1))
+    carry, m2 = it(carry, jax.random.key(2))
+    assert float(m2["buffer_size"]) > float(m1["buffer_size"]) > 0
+    assert float(m2["updated"]) == 1.0
+    assert np.isfinite(float(m2["loss"]))
+    # params identical across devices (replicated invariant)
+    p0 = jax.tree.leaves(carry.train_state.params)[0]
+    shards = [np.asarray(s.data) for s in p0.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+def test_checkpoint_roundtrip(tiny, tmp_path):
+    from alphafive_tpu.train import checkpoint as ckpt
+    from alphafive_tpu.utils.elo import LadderState
+
+    cfg = dataclasses.replace(
+        tiny, mesh=dataclasses.replace(tiny.mesh, data=1))
+    mesh = parallel.make_mesh(1)
+    carry = parallel.init_carry(cfg, jax.random.key(0), mesh)
+    it = parallel.make_train_iteration(cfg, mesh, donate=False)
+    carry, _ = it(carry, jax.random.key(1))
+
+    mgr = ckpt.make_manager(str(tmp_path / "ckpt"))
+    ladder = LadderState(level=2)
+    ckpt.save(mgr, 7, carry, jax.random.key(9), cfg, ladder)
+
+    carry0 = parallel.init_carry(cfg, jax.random.key(123), mesh)
+    it2, carry2, key2, cfg2, ladder2 = ckpt.restore(mgr, carry0)
+    assert it2 == 7 and ladder2.level == 2 and cfg2.env == cfg.env
+    for a, b in zip(jax.tree.leaves(carry.train_state.params),
+                    jax.tree.leaves(carry2.train_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(carry.buffer.board),
+                                  np.asarray(carry2.buffer.board))
+
+
+def test_graft_entry_single_and_multichip():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    logits, value = jax.jit(fn)(*args)
+    assert logits.shape == (256, 225) and value.shape == (256,)
+    ge.dryrun_multichip(8)
