@@ -60,6 +60,8 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--iters", type=int, default=None)
     sp.add_argument("--resume", action="store_true")
+    sp.add_argument("--profile-iters", type=int, default=0,
+                    help="capture a jax.profiler trace of N iterations")
 
     sp = sub.add_parser("eval", help="evaluate a checkpoint vs pure MCTS")
     common(sp)
@@ -71,6 +73,8 @@ def main(argv=None):
     sp.add_argument("--sims", type=int, default=None)
     sp.add_argument("--human-color", choices=["black", "white"],
                     default="black")
+    sp.add_argument("--opponent", choices=["net", "pure"], default="net",
+                    help="'pure' = net-free rollout MCTS (no checkpoint)")
 
     sp = sub.add_parser("bench", help="self-play throughput benchmark")
     common(sp)
@@ -85,7 +89,7 @@ def main(argv=None):
     if args.cmd == "train":
         from alphafive_tpu.train.loop import train
         train(cfg, workdir=args.workdir, total_iters=args.iters,
-              resume=args.resume)
+              resume=args.resume, profile_iters=args.profile_iters)
     elif args.cmd == "eval":
         _cmd_eval(cfg, args)
     elif args.cmd == "play":
@@ -144,8 +148,12 @@ def _cmd_play(cfg, args):
     from alphafive_tpu.mcts import run_mcts
     from alphafive_tpu.models.evaluator import net_evaluator
 
-    ts = _load_train_state(cfg, args.workdir)
-    evaluate = net_evaluator(cfg.env, cfg.net, ts.params, ts.batch_stats)
+    if args.opponent == "pure":
+        from alphafive_tpu.models.evaluator import rollout_evaluator
+        evaluate = rollout_evaluator(cfg.env)
+    else:
+        ts = _load_train_state(cfg, args.workdir)
+        evaluate = net_evaluator(cfg.env, cfg.net, ts.params, ts.batch_stats)
     sims = args.sims or cfg.mcts.num_simulations
     run = jax.jit(functools.partial(
         run_mcts, cfg.env, cfg.mcts, evaluate,

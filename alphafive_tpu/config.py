@@ -53,6 +53,14 @@ class MCTSConfig:
     # τ=1 sampling for the first `temperature_moves` plies of each game, then
     # greedy (the reference family's temperature decay, SURVEY.md §2 Config).
     temperature_moves: int = 8
+    # Selection-depth cap: descents longer than this are treated as leaf
+    # revisits (mctx-style truncation). None = exact (sims+1) — required by
+    # the oracle-parity tests; perf presets cap it so path buffers and the
+    # backup scatter stay O(cap) instead of O(sims).
+    max_depth: Optional[int] = None
+    # Tree prior storage dtype: "float32" (exact, parity tests) or
+    # "bfloat16" (halves the largest tree array on big perf configs).
+    prior_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,6 +85,9 @@ class TrainConfig:
     momentum: float = 0.9  # unused by adam; kept for sgd option
     optimizer: str = "adam"
     value_loss_weight: float = 1.0
+    # KL-adaptive lr multiplier target (SURVEY.md §3.1 reference-family
+    # `policy_update`): KL(π_old‖π_new) per update phase steers lr_scale.
+    kl_target: float = 0.02
     seed: int = 0
     eval_every_iters: int = 50
     eval_games: int = 32
@@ -149,7 +160,7 @@ def chip_15x15() -> RunConfig:
         name="chip_15x15",
         env=EnvConfig(board_size=15),
         net=NetConfig(blocks=4, channels=64),
-        mcts=MCTSConfig(num_simulations=400),
+        mcts=MCTSConfig(num_simulations=400, max_depth=64),
         train=TrainConfig(num_envs=256, selfplay_plies_per_iter=32),
     )
 
@@ -161,7 +172,7 @@ def host_15x15() -> RunConfig:
         name="host_15x15",
         env=EnvConfig(board_size=15),
         net=NetConfig(blocks=4, channels=64),
-        mcts=MCTSConfig(num_simulations=400),
+        mcts=MCTSConfig(num_simulations=400, max_depth=64),
         replay=ReplayConfig(capacity=500_000, batch_size=2_048,
                             min_fill=16_384),
         train=TrainConfig(num_envs=2_048, selfplay_plies_per_iter=16,
@@ -177,7 +188,7 @@ def pod_v5p16() -> RunConfig:
         name="pod_v5p16",
         env=EnvConfig(board_size=15),
         net=NetConfig(blocks=4, channels=64),
-        mcts=MCTSConfig(num_simulations=400),
+        mcts=MCTSConfig(num_simulations=400, max_depth=64),
         replay=ReplayConfig(capacity=1_000_000, batch_size=4_096,
                             min_fill=32_768),
         train=TrainConfig(num_envs=8_192, selfplay_plies_per_iter=16,
@@ -193,7 +204,8 @@ def renju_19x19() -> RunConfig:
         name="renju_19x19",
         env=EnvConfig(board_size=19, rules=RENJU_LITE),
         net=NetConfig(blocks=10, channels=128),
-        mcts=MCTSConfig(num_simulations=400),
+        mcts=MCTSConfig(num_simulations=400, max_depth=64,
+                        prior_dtype="bfloat16"),
         replay=ReplayConfig(capacity=300_000, batch_size=1_024,
                             min_fill=8_192),
         train=TrainConfig(num_envs=512, selfplay_plies_per_iter=16),

@@ -7,9 +7,10 @@ Dirichlet root noise"). Design:
 
   * One simulation expands exactly one node, so node ``s+1`` is pre-assigned
     to simulation ``s`` — no dynamic allocation, no host control flow.
-  * Selection is a vmapped ``lax.while_loop`` that records the descent path
-    into fixed ``[depth_limit]`` buffers; the carried state is O(depth), not
-    the tree, so stopped lanes cost nothing.
+  * Selection is a vmapped per-env ``lax.while_loop`` recording each descent
+    path into fixed ``[depth_limit]`` buffers; the carried state is
+    O(depth), not the tree (see _select_one's perf note for why vmap beats
+    a batch-level loop here).
   * Expansion steps ALL envs' leaf states in one batched env.step; a leaf
     that is already terminal re-uses its node (the step is a frozen no-op).
   * Leaf evaluation batches all E envs into one network forward per
@@ -53,8 +54,6 @@ class Tree:
     p: jnp.ndarray        # priors (prior_dtype)
     child: jnp.ndarray    # int32 child node index, -1 if unexpanded
     # node stats [E, NN]
-    parent: jnp.ndarray       # int32
-    action_from: jnp.ndarray  # int32 action taken from parent
     node_done: jnp.ndarray    # bool
     node_winner: jnp.ndarray  # int8
     node_to_play: jnp.ndarray  # int8
@@ -98,8 +97,6 @@ def _tree_init(env_cfg: EnvConfig, num_envs: int, num_nodes: int,
         w=jnp.zeros((e, nn, a), jnp.float32),
         p=jnp.zeros((e, nn, a), prior_dtype),
         child=jnp.full((e, nn, a), -1, jnp.int32),
-        parent=jnp.zeros((e, nn), jnp.int32),
-        action_from=jnp.zeros((e, nn), jnp.int32),
         node_done=jnp.zeros((e, nn), bool),
         node_winner=jnp.zeros((e, nn), jnp.int8),
         node_to_play=jnp.ones((e, nn), jnp.int8),
@@ -120,12 +117,23 @@ def _puct_scores(n_row, w_row, p_row, legal, c_puct):
 
 def _select_one(tree_n, tree_w, tree_p, tree_child, tree_done, tree_board,
                 c_puct, depth_limit):
-    """Single-env PUCT descent. Returns (leaf_parent, action, depth,
-    path_nodes[D], path_actions[D]).
+    """Single-env PUCT descent (vmapped over envs by the caller).
 
-    Stops at the first missing child (to expand) or at a terminal node
-    (action = -1, revisit). The path records every traversed edge INCLUDING
-    the stopping edge when expanding.
+    Perf note: under vmap, XLA picks an env-minor layout for the tree arrays
+    inside this while_loop and pays one transpose per array per simulation.
+    That measured FASTER end-to-end (191 vs 108 env-steps/s at 256 envs,
+    15×15/400 sims) than a batch-level while_loop with standard-layout row
+    gathers, because TPU gathers/scatters carry a large fixed cost per op
+    and the E-minor gathers inside the loop are near-free.
+
+    Returns (leaf_parent, action, depth, path_nodes[D], path_actions[D]).
+    A lane stops at the first missing child (to expand), at a terminal node,
+    or at the depth cap (the latter two: action = -1, leaf revisit —
+    mctx-style truncation). The path records every traversed edge INCLUDING
+    the stopping edge when expanding. Unused path slots stay (0, 0) and
+    carry zero-valued updates in the backup scatter (a plain scatter-add
+    with in-bounds pads measured ~2x faster than OOB-dropped or
+    sorted/unique variants on TPU).
     """
     d = depth_limit
 
@@ -134,24 +142,25 @@ def _select_one(tree_n, tree_w, tree_p, tree_child, tree_done, tree_board,
 
     def body(c):
         cur, _, _, depth, pn, pa = c
-        term = tree_done[cur]
+        revisit = tree_done[cur] | (depth >= d)
         legal = tree_board[cur] == 0
         score = _puct_scores(tree_n[cur], tree_w[cur], tree_p[cur], legal,
                              c_puct)
         a = jnp.argmax(score).astype(jnp.int32)
         ch = tree_child[cur, a]
-        stop = term | (ch < 0)
-        # record edge (cur, a) unless we stopped on a terminal node
-        rec = ~term
-        pn = pn.at[depth].set(jnp.where(rec, cur, pn[depth]))
-        pa = pa.at[depth].set(jnp.where(rec, a, pa[depth]))
+        stop = revisit | (ch < 0)
+        rec = ~revisit
+        slot = jnp.minimum(depth, d - 1)
+        pn = pn.at[slot].set(jnp.where(rec, cur, pn[slot]))
+        pa = pa.at[slot].set(jnp.where(rec, a, pa[slot]))
         depth = depth + rec.astype(jnp.int32)
         nxt = jnp.where(stop, cur, ch)
-        act = jnp.where(term, -1, a)
+        act = jnp.where(revisit, -1, a)
         return (nxt, act, stop, depth, pn, pa)
 
     init = (jnp.int32(0), jnp.int32(-1), jnp.array(False), jnp.int32(0),
-            jnp.full((d,), 0, jnp.int32), jnp.full((d,), 0, jnp.int32))
+            jnp.zeros((d,), jnp.int32),
+            jnp.zeros((d,), jnp.int32))
     cur, act, _, depth, pn, pa = jax.lax.while_loop(cond, body, init)
     return cur, act, depth, pn, pa
 
@@ -178,7 +187,6 @@ def run_mcts(
     *,
     num_simulations: Optional[int] = None,
     add_noise: bool = True,
-    prior_dtype=jnp.float32,
 ) -> SearchResult:
     """Search every env's current position. Roots must not be terminal
     (done envs are searched harmlessly but their visits are meaningless —
@@ -187,7 +195,10 @@ def run_mcts(
     sims = int(num_simulations or mcts_cfg.num_simulations)
     e, a = state.board.shape
     nn = sims + 1
-    depth_limit = nn  # worst case: a single chain
+    # worst case is a single chain of sims edges; perf presets cap it
+    depth_limit = min(nn, mcts_cfg.max_depth or nn)
+    prior_dtype = (jnp.bfloat16 if mcts_cfg.prior_dtype == "bfloat16"
+                   else jnp.float32)
     c_puct = jnp.float32(mcts_cfg.c_puct)
 
     key, knoise, keval = jax.random.split(key, 3)
@@ -212,8 +223,9 @@ def run_mcts(
         root_p = (1.0 - eps) * root_p + eps * noise
     tree = tree.replace(p=tree.p.at[:, 0].set(root_p.astype(prior_dtype)))
 
-    select_v = jax.vmap(_select_one, in_axes=(0, 0, 0, 0, 0, 0, None, None))
     earange = jnp.arange(e)
+    select_v = jax.vmap(_select_one,
+                        in_axes=(0, 0, 0, 0, 0, 0, None, None))
 
     def sim_body(s, carry):
         tree, key = carry
@@ -223,45 +235,53 @@ def run_mcts(
             tree.n, tree.w, tree.p, tree.child, tree.node_done,
             tree.node_board, c_puct, depth_limit)
 
-        is_term = sel_act < 0
+        # revisit lanes (action = -1): terminal node OR live node at the
+        # depth cap — no expansion, back up the leaf's own value
+        is_revisit = sel_act < 0
         safe_act = jnp.maximum(sel_act, 0)
 
-        # step the selected node's state; frozen no-op for terminal leaves
         parent_state = _gather_env(tree, leaf_parent)
-        child_state = vector.step(env_cfg, parent_state, safe_act)
+        stepped = vector.step(env_cfg, parent_state, safe_act)
+        # leaf state: the stepped child for expanding lanes, the selected
+        # node itself for revisit lanes (step would place a bogus stone on a
+        # live depth-capped node)
+        mask = is_revisit
+
+        def sel(a, b):  # where(mask, a, b) broadcasting over trailing dims
+            m = mask.reshape(mask.shape + (1,) * (a.ndim - 1))
+            return jnp.where(m, a, b)
+
+        leaf_state = jax.tree.map(sel, parent_state, stepped)
 
         new = jnp.int32(s + 1)
-        leaf = jnp.where(is_term, leaf_parent, new)
 
-        # write the new node (harmless orphan write for terminal lanes)
+        # write the new node (harmless orphan write for revisit lanes)
         tree = tree.replace(
-            node_board=tree.node_board.at[:, new].set(child_state.board),
-            node_to_play=tree.node_to_play.at[:, new].set(child_state.to_play),
-            node_last=tree.node_last.at[:, new].set(child_state.last_move),
-            node_count=tree.node_count.at[:, new].set(child_state.move_count),
-            node_done=tree.node_done.at[:, new].set(child_state.done),
-            node_winner=tree.node_winner.at[:, new].set(child_state.winner),
-            parent=tree.parent.at[:, new].set(leaf_parent),
-            action_from=tree.action_from.at[:, new].set(safe_act),
+            node_board=tree.node_board.at[:, new].set(stepped.board),
+            node_to_play=tree.node_to_play.at[:, new].set(stepped.to_play),
+            node_last=tree.node_last.at[:, new].set(stepped.last_move),
+            node_count=tree.node_count.at[:, new].set(stepped.move_count),
+            node_done=tree.node_done.at[:, new].set(stepped.done),
+            node_winner=tree.node_winner.at[:, new].set(stepped.winner),
             # link parent -> child only for expanding lanes
             child=tree.child.at[earange, leaf_parent, safe_act].set(
-                jnp.where(is_term,
+                jnp.where(is_revisit,
                           tree.child[earange, leaf_parent, safe_act], new)),
         )
 
         # one batched evaluation per simulation (E leaves at once)
-        logits, v = evaluate(child_state.board, child_state.to_play,
-                             child_state.last_move, keval)
+        logits, v = evaluate(leaf_state.board, leaf_state.to_play,
+                             leaf_state.last_move, keval)
         leaf_value = jnp.where(
-            child_state.done,
-            (child_state.winner * child_state.to_play).astype(jnp.float32),
+            leaf_state.done,
+            (leaf_state.winner * leaf_state.to_play).astype(jnp.float32),
             v.astype(jnp.float32))
-        child_p = masked_softmax(logits, child_state.board == 0)
+        child_p = masked_softmax(logits, stepped.board == 0)
         tree = tree.replace(p=tree.p.at[:, new].set(
             child_p.astype(prior_dtype)))
 
         # batched backup: edge j on the path (0-based from root, depth L)
-        # accumulates leaf_value * (-1)^(L - j)
+        # accumulates leaf_value * (-1)^(L - j); pad slots add 0 at (0, 0)
         dn = jnp.arange(depth_limit)[None, :]                  # [1, D]
         on_path = dn < depth[:, None]                          # [E, D]
         exp_ = (depth[:, None] - dn).astype(jnp.int32)

@@ -29,6 +29,10 @@ def net_evaluator(env_cfg: EnvConfig, net_cfg: NetConfig, params,
     def evaluate(board, to_play, last, key):
         del key
         feats = vector.features(env_cfg, board, to_play, last)
+        if net_cfg.use_pallas:
+            from alphafive_tpu.models.resnet import apply_eval_fused
+            return apply_eval_fused(env_cfg, net_cfg, params, batch_stats,
+                                    feats)
         logits, value = apply_eval(model, params, batch_stats, feats)
         return logits, value
 

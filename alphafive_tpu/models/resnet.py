@@ -103,6 +103,68 @@ def apply_eval(model: PolicyValueNet, params, batch_stats,
                        features, train=False)
 
 
+def apply_eval_fused(env: EnvConfig, net: NetConfig, params, batch_stats,
+                     features: jnp.ndarray, interpret: bool = False
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inference forward with Pallas-fused residual blocks (SURVEY.md §7.9).
+
+    BatchNorm is folded into the convolutions (inference mode), each residual
+    block runs as one Pallas kernel keeping activations in VMEM
+    (ops/pallas_resblock.py), and the tiny stem/heads stay in XLA. Must be
+    numerically equivalent (f32) to `apply_eval` — tests/test_pallas.py.
+    """
+    from alphafive_tpu.ops.pallas_resblock import (fold_batchnorm,
+                                                   fused_resblock,
+                                                   pack_conv_kernel)
+    dt = _dtype(net)
+    x = features.astype(dt)
+
+    def fold(conv_name, bn_name):
+        return fold_batchnorm(
+            params[conv_name]["kernel"].astype(jnp.float32),
+            params[bn_name]["scale"].astype(jnp.float32),
+            params[bn_name]["bias"].astype(jnp.float32),
+            batch_stats[bn_name]["mean"].astype(jnp.float32),
+            batch_stats[bn_name]["var"].astype(jnp.float32))
+
+    w, b = fold("stem_conv", "stem_bn")
+    x = jax.lax.conv_general_dilated(
+        x, w.astype(dt), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    x = nn.relu(x + b).astype(dt)
+
+    for i in range(net.blocks):
+        blk = params[f"block{i}"]
+        bs = batch_stats[f"block{i}"]
+        w1, b1 = fold_batchnorm(blk["conv1"]["kernel"].astype(jnp.float32),
+                                blk["bn1"]["scale"], blk["bn1"]["bias"],
+                                bs["bn1"]["mean"], bs["bn1"]["var"])
+        w2, b2 = fold_batchnorm(blk["conv2"]["kernel"].astype(jnp.float32),
+                                blk["bn2"]["scale"], blk["bn2"]["bias"],
+                                bs["bn2"]["mean"], bs["bn2"]["var"])
+        x = fused_resblock(x, pack_conv_kernel(w1).astype(dt), b1,
+                           pack_conv_kernel(w2).astype(dt), b2,
+                           interpret=interpret)
+
+    bsz = x.shape[0]
+    a = env.num_actions
+    # policy head (1×1 conv == matmul over channels)
+    wp, bp = fold("policy_conv", "policy_bn")
+    p = jnp.einsum("bhwc,co->bhwo", x.astype(jnp.float32), wp[0, 0])
+    p = nn.relu(p + bp).reshape(bsz, -1)
+    logits = (p @ params["policy_fc"]["kernel"]
+              + params["policy_fc"]["bias"])
+    # value head
+    wv, bv = fold("value_conv", "value_bn")
+    v = jnp.einsum("bhwc,co->bhwo", x.astype(jnp.float32), wv[0, 0])
+    v = nn.relu(v + bv).reshape(bsz, -1)
+    v = nn.relu(v @ params["value_fc1"]["kernel"]
+                + params["value_fc1"]["bias"])
+    v = v @ params["value_fc2"]["kernel"] + params["value_fc2"]["bias"]
+    return logits, jnp.tanh(v)[:, 0]
+
+
 def apply_train(model: PolicyValueNet, params, batch_stats,
                 features: jnp.ndarray):
     """Training forward: returns ((logits, value), new_batch_stats)."""

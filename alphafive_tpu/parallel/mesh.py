@@ -39,6 +39,7 @@ from alphafive_tpu.config import RunConfig
 from alphafive_tpu.env import vector
 from alphafive_tpu.env.vector import EnvState
 from alphafive_tpu.models.evaluator import net_evaluator
+from alphafive_tpu.models.resnet import PolicyValueNet, apply_eval
 from alphafive_tpu.replay import buffer as replay_buffer
 from alphafive_tpu.replay.buffer import ReplayBuffer
 from alphafive_tpu.train import actor, learner
@@ -147,20 +148,42 @@ def make_train_iteration(cfg: RunConfig, mesh: Mesh,
         local_bs = cfg.replay.batch_size // n
 
         def learner_scan(ts, _):
+            # probe batch for the reference-family KL-adaptive lr
+            # (SURVEY.md §3.1: adapt the multiplier from KL(π_old‖π_new)
+            # across the update phase)
+            kprobe, kscan = jax.random.split(ksample)
+            probe = replay_buffer.sample(cfg.env, buf, kprobe, local_bs)
+            model = PolicyValueNet(cfg.env, cfg.net)
+            old_logits, _ = apply_eval(model, ts.params, ts.batch_stats,
+                                       probe[0])
+            old_logp = jax.nn.log_softmax(old_logits, axis=-1)
+
             def one(carry, k):
                 ts = carry
                 batch = replay_buffer.sample(cfg.env, buf, k, local_bs)
                 ts, aux = learner.train_step(cfg.env, cfg.net, cfg.train,
                                              ts, batch, axis_name=DATA_AXIS)
                 return ts, aux
-            ks = jax.random.split(ksample, cfg.train.learner_steps_per_iter)
+            ks = jax.random.split(kscan, cfg.train.learner_steps_per_iter)
             ts, auxs = jax.lax.scan(one, ts, ks)
-            return ts, jax.tree.map(lambda x: x.mean(), auxs)
+
+            new_logits, _ = apply_eval(model, ts.params, ts.batch_stats,
+                                       probe[0])
+            new_logp = jax.nn.log_softmax(new_logits, axis=-1)
+            p_old = jnp.exp(old_logp)
+            kl = jax.lax.pmean(
+                jnp.mean(jnp.sum(p_old * (old_logp - new_logp), axis=-1)),
+                DATA_AXIS)
+            ts = learner.adapt_lr_scale(ts, kl, cfg.train.kl_target)
+            aux = jax.tree.map(lambda x: x.mean(), auxs)
+            aux["kl_update"] = kl
+            return ts, aux
 
         def no_update(ts, _):
             zero_aux = {k: jnp.zeros(()) for k in
                         ("loss", "policy_loss", "value_loss", "l2_loss",
-                         "kl_pi_p", "value_mae", "entropy_pi", "grad_norm")}
+                         "kl_pi_p", "value_mae", "entropy_pi", "grad_norm",
+                         "lr_scale", "kl_update")}
             return ts, zero_aux
 
         ts, aux = jax.lax.cond(do_update, learner_scan, no_update, ts, None)

@@ -35,7 +35,10 @@ class TrainState:
     params: Any
     batch_stats: Any
     opt_state: Any
-    step: jnp.ndarray  # int32[]
+    step: jnp.ndarray      # int32[]
+    lr_scale: jnp.ndarray  # f32[] — KL-adaptive multiplier (SURVEY.md §3.1:
+    # the reference adapts an lr multiplier from KL(π_old‖π_new) after each
+    # update phase; we mirror that with ×1.5 / ÷1.5 clamped to [0.1, 10])
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -57,7 +60,9 @@ def init_train_state(env_cfg: EnvConfig, net_cfg: NetConfig,
     batch_stats = variables.get("batch_stats", {})
     opt = make_optimizer(train_cfg)
     return TrainState(params=params, batch_stats=batch_stats,
-                      opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
+                      opt_state=opt.init(params),
+                      step=jnp.zeros((), jnp.int32),
+                      lr_scale=jnp.ones((), jnp.float32))
 
 
 def _l2_of_kernels(params) -> jnp.ndarray:
@@ -111,7 +116,20 @@ def train_step(env_cfg: EnvConfig, net_cfg: NetConfig,
         aux = jax.lax.pmean(aux, axis_name)
     opt = make_optimizer(train_cfg)
     updates, new_opt = opt.update(grads, ts.opt_state, ts.params)
+    updates = jax.tree.map(lambda u: u * ts.lr_scale, updates)
     params = optax.apply_updates(ts.params, updates)
     aux["grad_norm"] = optax.global_norm(grads)
+    aux["lr_scale"] = ts.lr_scale
     return TrainState(params=params, batch_stats=new_bs, opt_state=new_opt,
-                      step=ts.step + 1), aux
+                      step=ts.step + 1, lr_scale=ts.lr_scale), aux
+
+
+def adapt_lr_scale(ts: TrainState, kl: jnp.ndarray,
+                   kl_target: float) -> TrainState:
+    """Reference-family adaptive lr: shrink when the update moved the policy
+    too far (KL > 2·target), grow when it barely moved (KL < target/2)."""
+    up = kl < kl_target / 2
+    down = kl > kl_target * 2
+    scale = ts.lr_scale * jnp.where(down, 1.0 / 1.5,
+                                    jnp.where(up, 1.5, 1.0))
+    return ts.replace(lr_scale=jnp.clip(scale, 0.1, 10.0))

@@ -26,8 +26,14 @@ from alphafive_tpu.utils.logging import MetricsLogger
 
 def train(cfg: RunConfig, workdir: Optional[str] = None,
           total_iters: Optional[int] = None, resume: bool = False,
-          mesh=None, logger: Optional[MetricsLogger] = None):
-    """Run the pipeline. Returns (carry, ladder) for inspection."""
+          mesh=None, logger: Optional[MetricsLogger] = None,
+          profile_iters: int = 0):
+    """Run the pipeline. Returns (carry, ladder) for inspection.
+
+    profile_iters > 0 captures a `jax.profiler` device trace of iterations
+    [2, 2+profile_iters) into <workdir>/profile (SURVEY.md §5.1), viewable
+    in TensorBoard / Perfetto.
+    """
     total = total_iters if total_iters is not None else cfg.train.total_iters
     mesh = mesh if mesh is not None else parallel.make_mesh(cfg.mesh.data)
     log = logger or MetricsLogger(workdir)
@@ -49,6 +55,11 @@ def train(cfg: RunConfig, workdir: Optional[str] = None,
     n_chips = mesh.devices.size
 
     for it in range(start_iter, total):
+        if profile_iters and workdir and it == start_iter + 2:
+            jax.profiler.start_trace(f"{workdir}/profile")
+        if profile_iters and workdir and it == start_iter + 2 + profile_iters:
+            jax.profiler.stop_trace()
+            log.log({"kind": "profile", "dir": f"{workdir}/profile"})
         key, kit = jax.random.split(key)
         t0 = time.time()
         carry, metrics = iteration(carry, kit)
@@ -64,7 +75,15 @@ def train(cfg: RunConfig, workdir: Optional[str] = None,
         })
 
         if cfg.train.eval_every_iters and (it + 1) % cfg.train.eval_every_iters == 0:
-            run_eval(cfg, carry, ladder, it, key, log)
+            elo = run_eval(cfg, carry, ladder, it, key, log)
+            # best-model tracking keyed on eval rating (SURVEY.md §5.4)
+            best_so_far = max((h["elo"] for h in ladder.history[:-1]),
+                              default=-1e9)
+            if workdir and elo is not None and elo > best_so_far:
+                ckpt.save(ckpt.make_manager(f"{workdir}/best",
+                                            max_to_keep=1),
+                          it + 1, carry, key, cfg, ladder)
+                log.log({"kind": "best", "iter": it + 1, "elo": elo})
         if mgr is not None and (it + 1) % cfg.train.checkpoint_every_iters == 0:
             ckpt.save(mgr, it + 1, carry, key, cfg, ladder)
             log.log({"kind": "checkpoint", "iter": it + 1})
@@ -75,7 +94,7 @@ def train(cfg: RunConfig, workdir: Optional[str] = None,
 
 
 def run_eval(cfg: RunConfig, carry, ladder: LadderState, it: int,
-             key: jax.Array, log: MetricsLogger) -> None:
+             key: jax.Array, log: MetricsLogger):
     """Current net-MCTS vs the pure-MCTS anchor (SURVEY.md §3.5)."""
     ts = carry.train_state
     net_eval = net_evaluator(cfg.env, cfg.net, ts.params, ts.batch_stats)
@@ -89,3 +108,4 @@ def run_eval(cfg: RunConfig, carry, ladder: LadderState, it: int,
     log.log({"kind": "eval", "iter": it, **result, "elo": elo,
              "anchor_rollouts": ladder.history[-1]["anchor_rollouts"],
              "level": ladder.history[-1]["level"]})
+    return elo

@@ -1,0 +1,53 @@
+"""Eval matches + Elo ladder (SURVEY.md §3.5, §4 "Learning-curve/Elo")."""
+
+import jax
+import numpy as np
+import pytest
+
+from alphafive_tpu.config import EnvConfig, MCTSConfig
+from alphafive_tpu.models.evaluator import rollout_evaluator, uniform_evaluator
+from alphafive_tpu.train.evaluate import evaluate_vs
+from alphafive_tpu.utils import elo
+
+
+def test_stronger_search_wins():
+    """Pure-MCTS with 96 sims should beat 4-sim search on 5x5/4-in-a-row."""
+    env_cfg = EnvConfig(board_size=5, n_in_row=4)
+    mcts_cfg = MCTSConfig()
+    strong = rollout_evaluator(env_cfg, num_rollouts=1)
+    weak = uniform_evaluator(env_cfg)
+    res = evaluate_vs(env_cfg, mcts_cfg, strong, weak, 96, 4, 8,
+                      jax.random.key(0))
+    assert res["games"] == 8
+    assert res["wins"] + res["losses"] + res["draws"] == 8
+    assert res["score"] >= 0.65, res
+
+
+def test_evaluate_counts_consistent():
+    env_cfg = EnvConfig(board_size=5, n_in_row=4)
+    mcts_cfg = MCTSConfig()
+    u = uniform_evaluator(env_cfg)
+    res = evaluate_vs(env_cfg, mcts_cfg, u, u, 8, 8, 6, jax.random.key(1))
+    assert res["games"] == 6
+    assert 0.0 <= res["score"] <= 1.0
+
+
+def test_elo_math():
+    assert elo.performance_elo(0.5, 0.0) == pytest.approx(0.0)
+    assert elo.performance_elo(0.75, 0.0) == pytest.approx(190.85, abs=0.1)
+    # monotone in score; shift by anchor
+    assert (elo.performance_elo(0.9, 100.0)
+            > elo.performance_elo(0.6, 100.0) > 100.0 - 80)
+
+
+def test_ladder_promotes():
+    lad = elo.LadderState(base_rollouts=100, promote_score=0.8)
+    assert lad.anchor_rollouts == 100
+    e1 = elo.update_ladder(lad, {"score": 0.9, "games": 8, "wins": 7,
+                                 "losses": 0, "draws": 1}, step=1)
+    assert lad.level == 1 and lad.anchor_rollouts == 200
+    e2 = elo.update_ladder(lad, {"score": 0.5, "games": 8, "wins": 4,
+                                 "losses": 4, "draws": 0}, step=2)
+    assert lad.level == 1  # no promotion on 0.5
+    assert e2 == pytest.approx(lad.anchor_elo)
+    assert len(lad.history) == 2

@@ -1,0 +1,82 @@
+"""Pallas fused residual path vs pure-XLA Flax module: interpret-mode
+equality on CPU (SURVEY.md §4 "Unit (net)", §7.9 A/B requirement).
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alphafive_tpu.config import EnvConfig, NetConfig
+from alphafive_tpu.models.resnet import (PolicyValueNet, apply_eval,
+                                         apply_eval_fused, init_variables)
+from alphafive_tpu.ops import pallas_resblock as prb
+
+
+def _rand_variables(env, net, key):
+    """Init then perturb batch_stats so BN folding is non-trivial."""
+    variables = init_variables(env, net, key)
+    k1, k2 = jax.random.split(key)
+    bs = jax.tree.map(
+        lambda x: x + 0.3 * jax.random.uniform(k1, x.shape) + 0.05,
+        variables["batch_stats"])
+    params = jax.tree.map(
+        lambda x: x + 0.1 * jax.random.normal(k2, x.shape),
+        variables["params"])
+    return params, bs
+
+
+@pytest.mark.parametrize("size,blocks,channels", [(5, 1, 16), (9, 2, 32)])
+def test_fused_forward_matches_flax(size, blocks, channels):
+    env = EnvConfig(board_size=size, n_in_row=4)
+    net = NetConfig(blocks=blocks, channels=channels, value_hidden=16,
+                    compute_dtype="float32")
+    params, bs = _rand_variables(env, net, jax.random.key(0))
+    x = jax.random.uniform(jax.random.key(1), (8, size, size, 4))
+
+    model = PolicyValueNet(env, net)
+    ref_logits, ref_v = jax.jit(
+        lambda p, b, f: apply_eval(model, p, b, f))(params, bs, x)
+
+    # run the fused path with the Pallas kernel in interpreter mode (CPU)
+    got_logits, got_v = apply_eval_fused(env, net, params, bs, x,
+                                         interpret=True)
+
+    np.testing.assert_allclose(np.asarray(got_logits),
+                               np.asarray(ref_logits), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(ref_v),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_shifted_matmul_conv_matches_xla():
+    """The flat-roll 9-tap decomposition == lax 3×3 'same' conv, including
+    the row/sample boundary wraps that the masks must cancel."""
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (4, 7, 7, 16), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (3, 3, 16, 16), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = prb._conv3x3_flat(x.reshape(-1, 16), prb.pack_conv_kernel(k),
+                            7, 7).reshape(4, 7, 7, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fold_batchnorm_algebra():
+    cout = 8
+    k = jax.random.normal(jax.random.key(0), (3, 3, 4, cout))
+    scale = jnp.linspace(0.5, 2.0, cout)
+    bias = jnp.linspace(-1, 1, cout)
+    mean = jnp.linspace(-0.2, 0.4, cout)
+    var = jnp.linspace(0.3, 1.5, cout)
+    x = jax.random.normal(jax.random.key(1), (2, 5, 5, 4))
+    conv = lambda xx, kk: jax.lax.conv_general_dilated(
+        xx, kk, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ref = (conv(x, k) - mean) * scale * jax.lax.rsqrt(var + 1e-5) + bias
+    w, b = prb.fold_batchnorm(k, scale, bias, mean, var)
+    got = conv(x, w) + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
