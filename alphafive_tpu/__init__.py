@@ -16,3 +16,17 @@ sections instead of reference ``file:line``.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: the 400-sim search program takes minutes
+# to compile; caching it makes reruns (bench, CLI, resume) start in seconds.
+# Opt out with ALPHAFIVE_NO_COMPILE_CACHE=1.
+if not _os.environ.get("ALPHAFIVE_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                        _os.path.expanduser("~/.cache/alphafive_tpu_xla")))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

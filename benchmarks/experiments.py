@@ -7,7 +7,10 @@ Prints one line per variant. Not part of the test suite.
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from alphafive_tpu.config import get_preset
 from alphafive_tpu.benchmarks import selfplay_bench
