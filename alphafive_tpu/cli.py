@@ -62,6 +62,14 @@ def main(argv=None):
     sp.add_argument("--resume", action="store_true")
     sp.add_argument("--profile-iters", type=int, default=0,
                     help="capture a jax.profiler trace of N iterations")
+    # multi-host (BASELINE.json:10): run the same command on every host;
+    # on TPU pods the coordinator is auto-detected, so bare --multihost works
+    sp.add_argument("--multihost", action="store_true",
+                    help="initialize jax.distributed before building the mesh")
+    sp.add_argument("--coordinator", default=None,
+                    help="coordinator address host:port (auto on TPU pods)")
+    sp.add_argument("--num-processes", type=int, default=None)
+    sp.add_argument("--process-id", type=int, default=None)
 
     sp = sub.add_parser("eval", help="evaluate a checkpoint vs pure MCTS")
     common(sp)
@@ -87,6 +95,10 @@ def main(argv=None):
     cfg = _apply_overrides(get_preset(args.preset), args.overrides)
 
     if args.cmd == "train":
+        if args.multihost:
+            from alphafive_tpu.parallel import distributed
+            distributed.initialize(args.coordinator, args.num_processes,
+                                   args.process_id)
         from alphafive_tpu.train.loop import train
         train(cfg, workdir=args.workdir, total_iters=args.iters,
               resume=args.resume, profile_iters=args.profile_iters)

@@ -160,7 +160,8 @@ def chip_15x15() -> RunConfig:
         name="chip_15x15",
         env=EnvConfig(board_size=15),
         net=NetConfig(blocks=4, channels=64),
-        mcts=MCTSConfig(num_simulations=400, max_depth=64),
+        mcts=MCTSConfig(num_simulations=400, max_depth=64,
+                        prior_dtype="bfloat16"),
         train=TrainConfig(num_envs=256, selfplay_plies_per_iter=32),
     )
 
@@ -172,7 +173,8 @@ def host_15x15() -> RunConfig:
         name="host_15x15",
         env=EnvConfig(board_size=15),
         net=NetConfig(blocks=4, channels=64),
-        mcts=MCTSConfig(num_simulations=400, max_depth=64),
+        mcts=MCTSConfig(num_simulations=400, max_depth=64,
+                        prior_dtype="bfloat16"),
         replay=ReplayConfig(capacity=500_000, batch_size=2_048,
                             min_fill=16_384),
         train=TrainConfig(num_envs=2_048, selfplay_plies_per_iter=16,
@@ -188,7 +190,8 @@ def pod_v5p16() -> RunConfig:
         name="pod_v5p16",
         env=EnvConfig(board_size=15),
         net=NetConfig(blocks=4, channels=64),
-        mcts=MCTSConfig(num_simulations=400, max_depth=64),
+        mcts=MCTSConfig(num_simulations=400, max_depth=64,
+                        prior_dtype="bfloat16"),
         replay=ReplayConfig(capacity=1_000_000, batch_size=4_096,
                             min_fill=32_768),
         train=TrainConfig(num_envs=8_192, selfplay_plies_per_iter=16,

@@ -119,16 +119,22 @@ def _puct_scores(n_row, w_row, p_row, legal, c_puct):
     return jnp.where(legal, q + u, -jnp.inf)
 
 
-def _select_one(tree_n, tree_w, tree_p, tree_child, tree_done, tree_board,
+def _select_one(tree_n, tree_w, tree_p, tree_child, tree_done,
                 c_puct, depth_limit):
     """Single-env PUCT descent (vmapped over envs by the caller).
+
+    Legality comes from the prior's sign (illegal cells store -1 — see
+    run_mcts), so the cached boards never enter this loop.
 
     Perf note: under vmap, XLA picks an env-minor layout for the tree arrays
     inside this while_loop and pays one transpose per array per simulation.
     That measured FASTER end-to-end (191 vs 108 env-steps/s at 256 envs,
     15×15/400 sims) than a batch-level while_loop with standard-layout row
     gathers, because TPU gathers/scatters carry a large fixed cost per op
-    and the E-minor gathers inside the loop are near-free.
+    and the E-minor gathers inside the loop are near-free. Every array this
+    loop touches is relaid-out once per simulation, so the hot-loop set is
+    kept minimal (u16 n, i16 child, prior_dtype p, f32 w; boards excluded
+    via the sign trick).
 
     Returns (leaf_parent, action, depth, path_nodes[D], path_actions[D]).
     A lane stops at the first missing child (to expand), at a terminal node,
@@ -147,9 +153,10 @@ def _select_one(tree_n, tree_w, tree_p, tree_child, tree_done, tree_board,
     def body(c):
         cur, _, _, depth, pn, pa = c
         revisit = tree_done[cur] | (depth >= d)
-        legal = tree_board[cur] == 0
-        score = _puct_scores(tree_n[cur], tree_w[cur], tree_p[cur], legal,
-                             c_puct)
+        p_signed = tree_p[cur].astype(jnp.float32)
+        legal = p_signed >= 0
+        score = _puct_scores(tree_n[cur], tree_w[cur],
+                             jnp.maximum(p_signed, 0.0), legal, c_puct)
         a = jnp.argmax(score).astype(jnp.int32)
         ch = tree_child[cur, a].astype(jnp.int32)
         stop = revisit | (ch < 0)
@@ -225,11 +232,15 @@ def run_mcts(
         noise = dirichlet_noise(knoise, mcts_cfg.dirichlet_alpha, root_legal)
         eps = jnp.float32(mcts_cfg.dirichlet_eps)
         root_p = (1.0 - eps) * root_p + eps * noise
-    tree = tree.replace(p=tree.p.at[:, 0].set(root_p.astype(prior_dtype)))
+    # priors are stored sign-masked: legal cells hold p, illegal cells -1,
+    # so selection derives legality from the prior row and never touches
+    # the cached boards (one fewer relayout + gather per simulation)
+    tree = tree.replace(p=tree.p.at[:, 0].set(
+        jnp.where(root_legal, root_p, -1.0).astype(prior_dtype)))
 
     earange = jnp.arange(e)
     select_v = jax.vmap(_select_one,
-                        in_axes=(0, 0, 0, 0, 0, 0, None, None))
+                        in_axes=(0, 0, 0, 0, 0, None, None))
 
     def sim_body(s, carry):
         tree, key = carry
@@ -237,7 +248,7 @@ def run_mcts(
 
         leaf_parent, sel_act, depth, pn, pa = select_v(
             tree.n, tree.w, tree.p, tree.child, tree.node_done,
-            tree.node_board, c_puct, depth_limit)
+            c_puct, depth_limit)
 
         # revisit lanes (action = -1): terminal node OR live node at the
         # depth cap — no expansion, back up the leaf's own value
@@ -281,9 +292,10 @@ def run_mcts(
             leaf_state.done,
             (leaf_state.winner * leaf_state.to_play).astype(jnp.float32),
             v.astype(jnp.float32))
-        child_p = masked_softmax(logits, stepped.board == 0)
+        child_legal = stepped.board == 0
+        child_p = masked_softmax(logits, child_legal)
         tree = tree.replace(p=tree.p.at[:, new].set(
-            child_p.astype(prior_dtype)))
+            jnp.where(child_legal, child_p, -1.0).astype(prior_dtype)))
 
         # batched backup: edge j on the path (0-based from root, depth L)
         # accumulates leaf_value * (-1)^(L - j); pad slots add 0 at (0, 0)

@@ -2,5 +2,7 @@
 
 from alphafive_tpu.parallel.mesh import (make_mesh, make_train_iteration,
                                          TrainCarry, init_carry)
+from alphafive_tpu.parallel import distributed
 
-__all__ = ["make_mesh", "make_train_iteration", "TrainCarry", "init_carry"]
+__all__ = ["make_mesh", "make_train_iteration", "TrainCarry", "init_carry",
+           "distributed"]

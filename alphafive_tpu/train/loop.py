@@ -35,8 +35,17 @@ def train(cfg: RunConfig, workdir: Optional[str] = None,
     in TensorBoard / Perfetto.
     """
     total = total_iters if total_iters is not None else cfg.train.total_iters
-    mesh = mesh if mesh is not None else parallel.make_mesh(cfg.mesh.data)
-    log = logger or MetricsLogger(workdir)
+    # multi-host: the global mesh spans all processes' devices; only the
+    # primary process writes logs and checkpoints (SURVEY.md §5.8)
+    from alphafive_tpu.parallel import distributed
+    primary = distributed.is_primary()
+    if mesh is None:
+        n = cfg.mesh.data if jax.process_count() == 1 else len(jax.devices())
+        mesh = parallel.make_mesh(n)
+    log = logger or MetricsLogger(workdir if primary else None,
+                                  quiet=not primary)
+    # orbax save/restore are collectives: every process creates the manager
+    # and participates; orbax serializes writes internally
     mgr = ckpt.make_manager(f"{workdir}/ckpt") if workdir else None
 
     key = jax.random.key(cfg.train.seed)
