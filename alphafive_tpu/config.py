@@ -61,6 +61,10 @@ class MCTSConfig:
     # Tree prior storage dtype: "float32" (exact, parity tests) or
     # "bfloat16" (halves the largest tree array on big perf configs).
     prior_dtype: str = "float32"
+    # Selection implementation: "xla" (vmapped while_loop) or "pallas"
+    # (packed-tree descent kernel, ops/pallas_select.py). Identical search
+    # results; different perf/memory trade (see search_packed.py).
+    select_impl: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -215,6 +219,26 @@ def renju_19x19() -> RunConfig:
     )
 
 
+def train_9x9() -> RunConfig:
+    """Practical 9×9 training config (not a BASELINE preset): produces the
+    bundled pretrained checkpoint the reference also ships (SURVEY.md §2
+    "Pretrained model"). Tuned for wall-clock on one v5e chip."""
+    return RunConfig(
+        name="train_9x9",
+        env=EnvConfig(board_size=9),
+        net=NetConfig(blocks=4, channels=64),
+        mcts=MCTSConfig(num_simulations=150, max_depth=32,
+                        temperature_moves=6, prior_dtype="bfloat16"),
+        replay=ReplayConfig(capacity=200_000, batch_size=512,
+                            min_fill=4_096),
+        train=TrainConfig(num_envs=256, selfplay_plies_per_iter=32,
+                          learner_steps_per_iter=4,
+                          eval_every_iters=25, eval_games=32,
+                          eval_simulations=100,
+                          checkpoint_every_iters=25),
+    )
+
+
 def tiny_test() -> RunConfig:
     """Not a BASELINE preset: miniature config for fast unit tests."""
     return RunConfig(
@@ -236,6 +260,7 @@ PRESETS = {
     "host_15x15": host_15x15,
     "pod_v5p16": pod_v5p16,
     "renju_19x19": renju_19x19,
+    "train_9x9": train_9x9,
     "tiny_test": tiny_test,
 }
 

@@ -203,6 +203,12 @@ def run_mcts(
     (done envs are searched harmlessly but their visits are meaningless —
     callers reset or mask them).
     """
+    if mcts_cfg.select_impl == "pallas":
+        from alphafive_tpu.mcts.search_packed import run_mcts_packed
+        return run_mcts_packed(
+            env_cfg, mcts_cfg, evaluate, state, key,
+            num_simulations=num_simulations, add_noise=add_noise,
+            interpret=jax.default_backend() == "cpu")
     sims = int(num_simulations or mcts_cfg.num_simulations)
     e, a = state.board.shape
     nn = sims + 1
