@@ -111,20 +111,47 @@ def main(argv=None):
     return 0
 
 
+def _pretrained_dir(cfg):
+    """Bundled pretrained checkpoint for this board size, if shipped.
+
+    The reference repo ships a ready-to-play model (SURVEY.md §2
+    "Pretrained model"); ours live under <repo>/pretrained/<size>x<size>.
+    """
+    import os
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    s = cfg.env.board_size
+    path = os.path.join(here, "pretrained", f"{s}x{s}")
+    return path if os.path.isdir(path) else None
+
+
 def _load_train_state(cfg, workdir):
-    """Latest checkpoint's train state, or a fresh init if none."""
+    """Latest checkpoint's train state (workdir, else bundled pretrained,
+    else a fresh init)."""
     import jax
     from alphafive_tpu import parallel
     from alphafive_tpu.train import checkpoint as ckpt
 
     mesh = parallel.make_mesh(1)
     carry = parallel.init_carry(cfg, jax.random.key(cfg.train.seed), mesh)
-    if workdir:
-        mgr = ckpt.make_manager(f"{workdir}/ckpt")
+    ckdir = f"{workdir}/ckpt" if workdir else None
+    if ckdir is None or ckpt.make_manager(ckdir).latest_step() is None:
+        pre = _pretrained_dir(cfg)
+        if pre is not None:
+            ckdir = pre
+    if ckdir:
+        mgr = ckpt.make_manager(ckdir)
         if mgr.latest_step() is not None:
+            # the bundled checkpoint's net shape must match; restore into a
+            # carry built from ITS saved config when they differ
             _, carry, _, _, _ = ckpt.restore(mgr, carry)
-            print(f"restored checkpoint step {mgr.latest_step()}",
+            print(f"restored checkpoint step {mgr.latest_step()} "
+                  f"from {ckdir}", file=sys.stderr)
+        else:
+            print("no checkpoint found; using a fresh (untrained) net",
                   file=sys.stderr)
+    else:
+        print("no checkpoint found; using a fresh (untrained) net",
+              file=sys.stderr)
     return carry.train_state
 
 
