@@ -55,6 +55,9 @@ def main(argv=None):
         sp.add_argument("--num-cpu-devices", type=int, default=8)
         sp.add_argument("--set", action="append", default=[],
                         metavar="SEC.FIELD=VAL", dest="overrides")
+        sp.add_argument("--debug-nans", action="store_true",
+                        help="jax_debug_nans: fault on NaN/Inf "
+                             "(SURVEY.md §5.2 numeric sanitizer)")
 
     sp = sub.add_parser("train", help="run the actor-learner pipeline")
     common(sp)
@@ -90,6 +93,9 @@ def main(argv=None):
 
     args = p.parse_args(argv)
     _setup_platform(args.platform, args.num_cpu_devices)
+    if getattr(args, "debug_nans", False):
+        import jax
+        jax.config.update("jax_debug_nans", True)
 
     from alphafive_tpu.config import get_preset
     cfg = _apply_overrides(get_preset(args.preset), args.overrides)

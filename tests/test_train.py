@@ -174,3 +174,39 @@ def test_graft_entry_single_and_multichip():
     logits, value = jax.jit(fn)(*args)
     assert logits.shape == (256, 225) and value.shape == (256,)
     ge.dryrun_multichip(8)
+
+
+def test_kill_and_resume_bit_reproducible(tiny, tmp_path):
+    """Fault-injection drill (SURVEY.md §5.3): training interrupted after
+    k iterations and resumed from the checkpoint must produce the SAME
+    parameters as an uninterrupted run — the checkpoint captures params,
+    opt state, env states, the replay ring, the PRNG key, and counters."""
+    from alphafive_tpu.train.loop import train
+    from alphafive_tpu.utils.logging import MetricsLogger
+
+    cfg = dataclasses.replace(
+        tiny,
+        mesh=dataclasses.replace(tiny.mesh, data=1),
+        train=dataclasses.replace(tiny.train, eval_every_iters=0,
+                                  checkpoint_every_iters=2,
+                                  selfplay_plies_per_iter=6),
+        replay=dataclasses.replace(tiny.replay, min_fill=8, batch_size=8),
+    )
+    quiet = MetricsLogger(None, quiet=True)
+
+    # uninterrupted: 4 iterations
+    wd_a = str(tmp_path / "a")
+    carry_a, _ = train(cfg, workdir=wd_a, total_iters=4, logger=quiet)
+
+    # interrupted: 2 iterations ("crash"), then resume to 4
+    wd_b = str(tmp_path / "b")
+    train(cfg, workdir=wd_b, total_iters=2, logger=quiet)
+    carry_b, _ = train(cfg, workdir=wd_b, total_iters=4, resume=True,
+                       logger=quiet)
+
+    for a, b in zip(jax.tree.leaves(carry_a.train_state.params),
+                    jax.tree.leaves(carry_b.train_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(carry_a.buffer.board),
+                                  np.asarray(carry_b.buffer.board))
+    assert int(carry_a.buffer.size[0]) == int(carry_b.buffer.size[0])
