@@ -61,6 +61,11 @@ class MCTSConfig:
     # Tree prior storage dtype: "float32" (exact, parity tests) or
     # "bfloat16" (halves the largest tree array on big perf configs).
     prior_dtype: str = "float32"
+    # Tree value-sum storage: "float32" (exact) or "int16" (fixed-point,
+    # 1/64 steps — needs num_simulations < 512; max quantization error on
+    # Q is ~0.01, negligible vs c_puct exploration noise). Halves the
+    # largest remaining array the select loop relays out per simulation.
+    value_dtype: str = "float32"
     # Selection implementation: "xla" (vmapped while_loop) or "pallas"
     # (packed-tree descent kernel, ops/pallas_select.py). Identical search
     # results; different perf/memory trade (see search_packed.py).

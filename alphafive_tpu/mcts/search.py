@@ -90,7 +90,7 @@ def dirichlet_noise(key: jax.Array, alpha: float,
 
 
 def _tree_init(env_cfg: EnvConfig, num_envs: int, num_nodes: int,
-               prior_dtype) -> Tree:
+               prior_dtype, value_dtype=jnp.float32) -> Tree:
     e, nn, a = num_envs, num_nodes, env_cfg.num_actions
     # dtype choices are HBM-bandwidth choices: the select loop makes XLA
     # relayout every tree array once per simulation, so halving n/child
@@ -98,7 +98,7 @@ def _tree_init(env_cfg: EnvConfig, num_envs: int, num_nodes: int,
     assert nn <= 32767, "int16 child pointers cap the tree at 32767 nodes"
     return Tree(
         n=jnp.zeros((e, nn, a), jnp.uint16),
-        w=jnp.zeros((e, nn, a), jnp.float32),
+        w=jnp.zeros((e, nn, a), value_dtype),
         p=jnp.zeros((e, nn, a), prior_dtype),
         child=jnp.full((e, nn, a), -1, jnp.int16),
         node_done=jnp.zeros((e, nn), bool),
@@ -120,7 +120,7 @@ def _puct_scores(n_row, w_row, p_row, legal, c_puct):
 
 
 def _select_one(tree_n, tree_w, tree_p, tree_child, tree_done,
-                c_puct, depth_limit):
+                c_puct, depth_limit, w_inv_scale=1.0):
     """Single-env PUCT descent (vmapped over envs by the caller).
 
     Legality comes from the prior's sign (illegal cells store -1 — see
@@ -155,7 +155,8 @@ def _select_one(tree_n, tree_w, tree_p, tree_child, tree_done,
         revisit = tree_done[cur] | (depth >= d)
         p_signed = tree_p[cur].astype(jnp.float32)
         legal = p_signed >= 0
-        score = _puct_scores(tree_n[cur], tree_w[cur],
+        w_row = tree_w[cur].astype(jnp.float32) * w_inv_scale
+        score = _puct_scores(tree_n[cur], w_row,
                              jnp.maximum(p_signed, 0.0), legal, c_puct)
         a = jnp.argmax(score).astype(jnp.int32)
         ch = tree_child[cur, a].astype(jnp.int32)
@@ -216,11 +217,18 @@ def run_mcts(
     depth_limit = min(nn, mcts_cfg.max_depth or nn)
     prior_dtype = (jnp.bfloat16 if mcts_cfg.prior_dtype == "bfloat16"
                    else jnp.float32)
+    # fixed-point value sums (config.MCTSConfig.value_dtype): W stored as
+    # int16 in 1/64 steps; |W| <= 64*(sims+1) must fit int16
+    fixed_w = mcts_cfg.value_dtype == "int16"
+    if fixed_w:
+        assert nn <= 511, "int16 value sums need num_simulations < 512"
+    value_dtype = jnp.int16 if fixed_w else jnp.float32
+    w_scale = 64.0 if fixed_w else 1.0
     c_puct = jnp.float32(mcts_cfg.c_puct)
 
     key, knoise, keval = jax.random.split(key, 3)
 
-    tree = _tree_init(env_cfg, e, nn, prior_dtype)
+    tree = _tree_init(env_cfg, e, nn, prior_dtype, value_dtype)
     # root = node 0
     tree = tree.replace(
         node_board=tree.node_board.at[:, 0].set(state.board),
@@ -246,7 +254,7 @@ def run_mcts(
 
     earange = jnp.arange(e)
     select_v = jax.vmap(_select_one,
-                        in_axes=(0, 0, 0, 0, 0, None, None))
+                        in_axes=(0, 0, 0, 0, 0, None, None, None))
 
     def sim_body(s, carry):
         tree, key = carry
@@ -254,7 +262,7 @@ def run_mcts(
 
         leaf_parent, sel_act, depth, pn, pa = select_v(
             tree.n, tree.w, tree.p, tree.child, tree.node_done,
-            c_puct, depth_limit)
+            c_puct, depth_limit, 1.0 / w_scale)
 
         # revisit lanes (action = -1): terminal node OR live node at the
         # depth cap — no expansion, back up the leaf's own value
@@ -310,6 +318,8 @@ def run_mcts(
         exp_ = (depth[:, None] - dn).astype(jnp.int32)
         sign = jnp.where(exp_ % 2 == 0, 1.0, -1.0)
         vals = jnp.where(on_path, sign * leaf_value[:, None], 0.0)
+        if fixed_w:
+            vals = jnp.round(vals * w_scale).astype(jnp.int16)
         incr = on_path.astype(jnp.uint16)
         tree = tree.replace(
             n=tree.n.at[earange[:, None], pn, pa].add(incr),

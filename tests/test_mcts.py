@@ -149,3 +149,30 @@ def test_sample_actions_respects_support():
     pi = jnp.asarray(np.tile(np.array([[0.0, 0.0, 1.0, 0.0]]), (64, 1)))
     acts = search.sample_actions(jax.random.key(0), pi)
     assert (np.asarray(acts) == 2).all()
+
+
+def test_int16_value_sums_close_to_f32():
+    """value_dtype="int16" (1/64 fixed-point W) must track the exact search
+    closely: same or near-same visit maxima on random positions."""
+    import dataclasses
+    import functools
+    from alphafive_tpu.config import EnvConfig, MCTSConfig
+    from alphafive_tpu.env import vector
+    from alphafive_tpu.models.evaluator import uniform_evaluator
+
+    env_cfg = EnvConfig(board_size=7, n_in_row=4)
+    base = MCTSConfig(num_simulations=60)
+    fixed = dataclasses.replace(base, value_dtype="int16")
+    ev = uniform_evaluator(env_cfg)
+    state = vector.init(env_cfg, 4)
+    key = jax.random.key(11)
+
+    ra = jax.jit(functools.partial(
+        search.run_mcts, env_cfg, base, ev, add_noise=False))(state, key)
+    rb = jax.jit(functools.partial(
+        search.run_mcts, env_cfg, fixed, ev, add_noise=False))(state, key)
+    # with uniform priors and zero leaf values the searches are identical
+    np.testing.assert_array_equal(np.asarray(ra.visits),
+                                  np.asarray(rb.visits))
+    np.testing.assert_allclose(np.asarray(ra.root_value),
+                               np.asarray(rb.root_value), atol=1 / 64)
