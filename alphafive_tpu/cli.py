@@ -91,6 +91,12 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--plies", type=int, default=8)
 
+    sp = sub.add_parser("export", help="export a workdir checkpoint as a "
+                                       "distributable params-only model")
+    common(sp)
+    sp.add_argument("--out", required=True,
+                    help="output dir (e.g. pretrained/9x9)")
+
     args = p.parse_args(argv)
     _setup_platform(args.platform, args.num_cpu_devices)
     if getattr(args, "debug_nans", False):
@@ -114,7 +120,24 @@ def main(argv=None):
         _cmd_play(cfg, args)
     elif args.cmd == "bench":
         _cmd_bench(cfg, args)
+    elif args.cmd == "export":
+        _cmd_export(cfg, args)
     return 0
+
+
+def _cmd_export(cfg, args):
+    from alphafive_tpu.train import checkpoint as ckpt
+
+    assert args.workdir, "--workdir with a checkpoint is required"
+    mgr = ckpt.make_manager(f"{args.workdir}/ckpt")
+    step = mgr.latest_step()
+    assert step is not None, f"no checkpoint under {args.workdir}/ckpt"
+    ts, saved_cfg = ckpt.restore_train_state(mgr)
+    ckpt.export_model(args.out, ts.params, ts.batch_stats, saved_cfg,
+                      extra={"iteration": step,
+                             "lr_scale": float(ts.lr_scale),
+                             "train_step": int(ts.step)})
+    print(f"exported step {step} -> {args.out}")
 
 
 def _pretrained_dir(cfg):
@@ -130,35 +153,43 @@ def _pretrained_dir(cfg):
     return path if os.path.isdir(path) else None
 
 
-def _load_train_state(cfg, workdir):
-    """Latest checkpoint's train state (workdir, else bundled pretrained,
-    else a fresh init)."""
+def _load_model(cfg, workdir):
+    """(params, batch_stats, net_cfg) for inference.
+
+    Priority: workdir's training checkpoint (restored against ITS saved
+    config, so any preset can load it) → bundled pretrained model for this
+    board size → fresh untrained net. The returned net_cfg is the one the
+    weights were trained with — the caller must build the evaluator from
+    it, not from the CLI preset.
+    """
+    import os
     import jax
-    from alphafive_tpu import parallel
     from alphafive_tpu.train import checkpoint as ckpt
 
-    mesh = parallel.make_mesh(1)
-    carry = parallel.init_carry(cfg, jax.random.key(cfg.train.seed), mesh)
-    ckdir = f"{workdir}/ckpt" if workdir else None
-    if ckdir is None or ckpt.make_manager(ckdir).latest_step() is None:
-        pre = _pretrained_dir(cfg)
-        if pre is not None:
-            ckdir = pre
-    if ckdir:
-        mgr = ckpt.make_manager(ckdir)
+    if workdir and os.path.isdir(f"{workdir}/ckpt"):
+        mgr = ckpt.make_manager(f"{workdir}/ckpt")
         if mgr.latest_step() is not None:
-            # the bundled checkpoint's net shape must match; restore into a
-            # carry built from ITS saved config when they differ
-            _, carry, _, _, _ = ckpt.restore(mgr, carry)
+            ts, saved_cfg = ckpt.restore_train_state(mgr)
+            assert saved_cfg.env.board_size == cfg.env.board_size, (
+                "checkpoint board size differs from preset")
             print(f"restored checkpoint step {mgr.latest_step()} "
-                  f"from {ckdir}", file=sys.stderr)
-        else:
-            print("no checkpoint found; using a fresh (untrained) net",
-                  file=sys.stderr)
-    else:
-        print("no checkpoint found; using a fresh (untrained) net",
+                  f"from {workdir}/ckpt", file=sys.stderr)
+            return ts.params, ts.batch_stats, saved_cfg.net
+
+    pre = _pretrained_dir(cfg)
+    if pre is not None:
+        params, batch_stats, saved_cfg = ckpt.load_model(pre)
+        print(f"loaded bundled pretrained model from {pre}",
               file=sys.stderr)
-    return carry.train_state
+        return params, batch_stats, saved_cfg.net
+
+    print("no checkpoint found; using a fresh (untrained) net",
+          file=sys.stderr)
+    from alphafive_tpu.models.resnet import init_variables
+    variables = init_variables(cfg.env, cfg.net,
+                               jax.random.key(cfg.train.seed))
+    return (variables["params"], variables.get("batch_stats", {}),
+            cfg.net)
 
 
 def _cmd_eval(cfg, args):
@@ -168,10 +199,10 @@ def _cmd_eval(cfg, args):
     from alphafive_tpu.utils.elo import performance_elo
     import json as _json
 
-    ts = _load_train_state(cfg, args.workdir)
+    params, batch_stats, net_cfg = _load_model(cfg, args.workdir)
     result = evaluate_vs(
         cfg.env, cfg.mcts,
-        net_evaluator(cfg.env, cfg.net, ts.params, ts.batch_stats),
+        net_evaluator(cfg.env, net_cfg, params, batch_stats),
         rollout_evaluator(cfg.env),
         cfg.train.eval_simulations or cfg.mcts.num_simulations,
         args.anchor_rollouts,
@@ -197,8 +228,8 @@ def _cmd_play(cfg, args):
         from alphafive_tpu.models.evaluator import rollout_evaluator
         evaluate = rollout_evaluator(cfg.env)
     else:
-        ts = _load_train_state(cfg, args.workdir)
-        evaluate = net_evaluator(cfg.env, cfg.net, ts.params, ts.batch_stats)
+        params, batch_stats, net_cfg = _load_model(cfg, args.workdir)
+        evaluate = net_evaluator(cfg.env, net_cfg, params, batch_stats)
     sims = args.sims or cfg.mcts.num_simulations
     run = jax.jit(functools.partial(
         run_mcts, cfg.env, cfg.mcts, evaluate,

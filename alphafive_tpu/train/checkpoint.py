@@ -51,6 +51,80 @@ def save(mgr: ocp.CheckpointManager, iteration: int, carry: TrainCarry,
     mgr.wait_until_finished()
 
 
+def read_meta(mgr: ocp.CheckpointManager,
+              iteration: Optional[int] = None):
+    """(iteration, RunConfig, LadderState) of a checkpoint's metadata."""
+    step = iteration if iteration is not None else mgr.latest_step()
+    assert step is not None, "no checkpoint found"
+    out = mgr.restore(step, args=ocp.args.Composite(
+        meta=ocp.args.JsonRestore()))
+    meta = out["meta"]
+    cfg = RunConfig.from_json(meta["config"])
+    lad = json.loads(meta["ladder"])
+    ladder = LadderState(level=lad["level"],
+                         base_rollouts=lad["base_rollouts"],
+                         promote_score=lad["promote_score"],
+                         history=lad["history"])
+    return int(meta["iteration"]), cfg, ladder
+
+
+def restore_train_state(mgr: ocp.CheckpointManager,
+                        iteration: Optional[int] = None):
+    """Model-only restore that works from ANY preset: rebuilds the carry
+    from the checkpoint's own saved config (env counts, buffer sizes and
+    optimizer shapes must match what was saved, not the caller's preset),
+    then returns (train_state, saved_cfg)."""
+    import jax as _jax
+
+    from alphafive_tpu import parallel
+
+    step, cfg, _ = read_meta(mgr, iteration)
+    mesh = parallel.make_mesh(1)
+    carry = parallel.init_carry(cfg, _jax.random.key(0), mesh)
+    _, carry, _, _, _ = restore(mgr, carry, step)
+    return carry.train_state, cfg
+
+
+# --- lightweight model export (the distributable "pretrained model") ----
+#
+# The reference ships a ready-to-play checkpoint in-repo (SURVEY.md §2
+# "Pretrained model"). Full training checkpoints embed env/replay state
+# whose shapes depend on the training preset, so the bundled artifact is
+# params-only: <dir>/model.msgpack + <dir>/config.json.
+
+def export_model(directory: str, params, batch_stats, cfg: RunConfig,
+                 extra: Optional[Dict[str, Any]] = None) -> None:
+    from flax import serialization
+
+    os.makedirs(directory, exist_ok=True)
+    payload = {
+        "params": jax.device_get(params),
+        "batch_stats": jax.device_get(batch_stats),
+    }
+    with open(os.path.join(directory, "model.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(payload))
+    meta = {"config": json.loads(cfg.to_json()), **(extra or {})}
+    with open(os.path.join(directory, "config.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load_model(directory: str):
+    """(params, batch_stats, RunConfig) from an export_model directory."""
+    from flax import serialization
+
+    from alphafive_tpu.models.resnet import init_variables
+
+    with open(os.path.join(directory, "config.json")) as f:
+        meta = json.load(f)
+    cfg = RunConfig.from_json(json.dumps(meta["config"]))
+    variables = init_variables(cfg.env, cfg.net, jax.random.key(0))
+    target = {"params": variables["params"],
+              "batch_stats": variables.get("batch_stats", {})}
+    with open(os.path.join(directory, "model.msgpack"), "rb") as f:
+        payload = serialization.from_bytes(target, f.read())
+    return payload["params"], payload["batch_stats"], cfg
+
+
 def restore(mgr: ocp.CheckpointManager, carry_like: TrainCarry,
             iteration: Optional[int] = None
             ) -> Tuple[int, TrainCarry, jax.Array, RunConfig, LadderState]:

@@ -210,3 +210,39 @@ def test_kill_and_resume_bit_reproducible(tiny, tmp_path):
     np.testing.assert_array_equal(np.asarray(carry_a.buffer.board),
                                   np.asarray(carry_b.buffer.board))
     assert int(carry_a.buffer.size[0]) == int(carry_b.buffer.size[0])
+
+
+def test_model_export_roundtrip(tiny, tmp_path):
+    """export_model/load_model: the distributable params-only artifact."""
+    from alphafive_tpu.train import checkpoint as ckpt
+
+    cfg = dataclasses.replace(
+        tiny, mesh=dataclasses.replace(tiny.mesh, data=1))
+    ts = learner.init_train_state(cfg.env, cfg.net, cfg.train,
+                                  jax.random.key(4))
+    d = str(tmp_path / "model")
+    ckpt.export_model(d, ts.params, ts.batch_stats, cfg,
+                      extra={"iteration": 42})
+    params, batch_stats, cfg2 = ckpt.load_model(d)
+    assert cfg2.env == cfg.env and cfg2.net == cfg.net
+    for a, b in zip(jax.tree.leaves(ts.params), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_train_state_from_any_preset(tiny, tmp_path):
+    """restore_train_state rebuilds shapes from the SAVED config, so a
+    checkpoint written by one preset loads under any caller preset."""
+    from alphafive_tpu.train import checkpoint as ckpt
+    from alphafive_tpu.utils.elo import LadderState
+
+    cfg = dataclasses.replace(
+        tiny, mesh=dataclasses.replace(tiny.mesh, data=1))
+    mesh = parallel.make_mesh(1)
+    carry = parallel.init_carry(cfg, jax.random.key(0), mesh)
+    mgr = ckpt.make_manager(str(tmp_path / "ckpt"))
+    ckpt.save(mgr, 3, carry, jax.random.key(1), cfg, LadderState())
+    ts, saved_cfg = ckpt.restore_train_state(mgr)
+    assert saved_cfg.train.num_envs == cfg.train.num_envs
+    for a, b in zip(jax.tree.leaves(carry.train_state.params),
+                    jax.tree.leaves(ts.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
