@@ -1,0 +1,60 @@
+"""CLI surface tests: override parsing and the play-mode plumbing.
+
+The heavyweight subcommands (train/bench) are covered by the integration
+tests; here we pin the config-override grammar and the human-play console
+loop (SURVEY.md §3.4) with scripted stdin.
+"""
+
+import builtins
+import io
+
+import pytest
+
+from alphafive_tpu import cli
+from alphafive_tpu.config import get_preset
+
+
+def test_apply_overrides_types():
+    cfg = get_preset("tiny_test")
+    cfg = cli._apply_overrides(cfg, [
+        "mcts.num_simulations=8",
+        "net.use_pallas=true",
+        "train.learning_rate=0.5",
+        "env.rules=renju_lite",
+    ])
+    assert cfg.mcts.num_simulations == 8
+    assert cfg.net.use_pallas is True
+    assert cfg.train.learning_rate == 0.5
+    assert cfg.env.rules == "renju_lite"
+
+
+def test_apply_overrides_rejects_garbage():
+    cfg = get_preset("tiny_test")
+    with pytest.raises(AssertionError):
+        cli._apply_overrides(cfg, ["mcts.num_simulations"])
+    with pytest.raises(AttributeError):
+        cli._apply_overrides(cfg, ["mcts.nope=1"])
+
+
+def test_play_pure_opponent_scripted(monkeypatch, capsys):
+    """Console play vs the net-free rollout MCTS, a few scripted moves.
+
+    Feeding EOF mid-game exercises the clean-exit path; a full game would
+    take minutes on CPU.
+    """
+    moves = iter(["2 2", "1 1"])
+
+    def fake_input(prompt=""):
+        try:
+            return next(moves)
+        except StopIteration:
+            raise EOFError
+
+    monkeypatch.setattr(builtins, "input", fake_input)
+    rc = cli.main([
+        "play", "--preset", "tiny_test", "--platform", "cpu",
+        "--opponent", "pure", "--sims", "8",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 or rc is None
+    assert "AI plays" in out or "bye" in out
