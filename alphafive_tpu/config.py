@@ -66,6 +66,13 @@ class MCTSConfig:
     # Q is ~0.01, negligible vs c_puct exploration noise). Halves the
     # largest remaining array the select loop relays out per simulation.
     value_dtype: str = "float32"
+    # Playout cap randomization (KataGo, PAPERS.md "Accelerating Self-Play
+    # Learning in Go"): when small_simulations > 0, each lockstep ply runs
+    # the full budget with probability full_sim_fraction (π becomes a
+    # training target) and a cheap small_simulations search otherwise
+    # (value-only position). Off by default.
+    small_simulations: int = 0
+    full_sim_fraction: float = 0.25
     # Selection implementation: "xla" (vmapped while_loop) or "pallas"
     # (packed-tree descent kernel, ops/pallas_select.py). Identical search
     # results; different perf/memory trade (see search_packed.py).
@@ -233,7 +240,8 @@ def train_9x9() -> RunConfig:
         env=EnvConfig(board_size=9),
         net=NetConfig(blocks=4, channels=64),
         mcts=MCTSConfig(num_simulations=150, max_depth=32,
-                        temperature_moves=6, prior_dtype="bfloat16"),
+                        temperature_moves=6, prior_dtype="bfloat16",
+                        small_simulations=50),
         replay=ReplayConfig(capacity=200_000, batch_size=512,
                             min_fill=4_096),
         train=TrainConfig(num_envs=256, selfplay_plies_per_iter=32,

@@ -140,7 +140,7 @@ def make_train_iteration(cfg: RunConfig, mesh: Mesh,
         # --- write into the local ring ---
         buf = replay_buffer.write(buf, traj.board, traj.to_play,
                                   traj.last_move, traj.pi, traj.z,
-                                  traj.z_valid)
+                                  traj.z_valid, traj.pi_valid)
 
         # --- K learner steps, gated on global fill ---
         global_size = jax.lax.psum(buf.size, DATA_AXIS)

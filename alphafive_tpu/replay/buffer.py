@@ -39,6 +39,7 @@ class ReplayBuffer:
     pi: jnp.ndarray       # bfloat16[C, A]
     z: jnp.ndarray        # int8[C]
     z_valid: jnp.ndarray  # bool[C]
+    pi_valid: jnp.ndarray  # bool[C] (π from a full-budget search)
     ptr: jnp.ndarray      # int32[] next write slot
     size: jnp.ndarray     # int32[] filled entries (<= C)
 
@@ -54,18 +55,21 @@ def init(env: EnvConfig, cfg: ReplayConfig,
         pi=jnp.zeros((c, a), jnp.bfloat16),
         z=jnp.zeros((c,), jnp.int8),
         z_valid=jnp.zeros((c,), bool),
+        pi_valid=jnp.zeros((c,), bool),
         ptr=jnp.zeros((), jnp.int32),
         size=jnp.zeros((), jnp.int32),
     )
 
 
 def write(buf: ReplayBuffer, board, to_play, last_move, pi, z,
-          z_valid) -> ReplayBuffer:
+          z_valid, pi_valid=None) -> ReplayBuffer:
     """Append M entries (leading axis M) with wrap-around. Requires M <= C."""
     c = buf.board.shape[0]
     m = board.shape[0]
     assert m <= c, f"chunk {m} larger than buffer {c}"
     idx = (buf.ptr + jnp.arange(m, dtype=jnp.int32)) % c
+    if pi_valid is None:
+        pi_valid = jnp.ones((m,), bool)
     return buf.replace(
         board=buf.board.at[idx].set(board.astype(jnp.int8)),
         to_play=buf.to_play.at[idx].set(to_play.astype(jnp.int8)),
@@ -73,6 +77,7 @@ def write(buf: ReplayBuffer, board, to_play, last_move, pi, z,
         pi=buf.pi.at[idx].set(pi.astype(jnp.bfloat16)),
         z=buf.z.at[idx].set(z.astype(jnp.int8)),
         z_valid=buf.z_valid.at[idx].set(z_valid),
+        pi_valid=buf.pi_valid.at[idx].set(pi_valid),
         ptr=(buf.ptr + m) % c,
         size=jnp.minimum(buf.size + m, c),
     )
@@ -82,7 +87,8 @@ def sample(env: EnvConfig, buf: ReplayBuffer, key: jax.Array,
            batch_size: int) -> Tuple[jnp.ndarray, ...]:
     """Uniform minibatch with a fresh random dihedral symmetry per example.
 
-    Returns (features[B,S,S,4] f32, pi[B,A] f32, z[B] f32, z_valid[B] f32).
+    Returns (features[B,S,S,4] f32, pi[B,A] f32, z[B] f32, z_valid[B] f32,
+    pi_valid[B] f32).
     """
     kidx, ksym = jax.random.split(key)
     idx = jax.random.randint(kidx, (batch_size,), 0,
@@ -97,4 +103,5 @@ def sample(env: EnvConfig, buf: ReplayBuffer, key: jax.Array,
     from alphafive_tpu.env import vector  # local import to avoid cycle
     feats = vector.features(env, board, buf.to_play[idx], last)
     return (feats, pi, buf.z[idx].astype(jnp.float32),
-            buf.z_valid[idx].astype(jnp.float32))
+            buf.z_valid[idx].astype(jnp.float32),
+            buf.pi_valid[idx].astype(jnp.float32))

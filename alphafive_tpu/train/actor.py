@@ -15,6 +15,15 @@ acting, with the canonical AlphaZero training target.
 Positions whose game did not finish inside the chunk get `z_valid=False`:
 their π is still a valid policy target, but the value target is masked in
 the learner (SURVEY.md §7 replay design).
+
+Playout cap randomization (KataGo, "Accelerating Self-Play Learning in
+Go", PAPERS.md): when ``mcts_cfg.small_simulations > 0``, each ply flips a
+coin — with probability ``full_sim_fraction`` the search runs the full
+budget and the position's π is a training target (``pi_valid=True``);
+otherwise a cheap ``small_simulations`` search just picks the move and the
+position trains only the value head. Most positions become cheap while
+policy targets keep full quality — a large self-play speedup at equal
+strength.
 """
 
 from __future__ import annotations
@@ -41,6 +50,7 @@ class Trajectory:
     pi: jnp.ndarray        # f32[M, A]
     z: jnp.ndarray         # int8[M] (outcome from mover's perspective)
     z_valid: jnp.ndarray   # bool[M]
+    pi_valid: jnp.ndarray  # bool[M] (full-budget search — π is a target)
 
 
 class SelfplayStats(NamedTuple):
@@ -63,12 +73,31 @@ def selfplay_chunk(
 ) -> Tuple[EnvState, Trajectory, SelfplayStats]:
     """Play `num_plies` lockstep plies in every env (auto-resetting)."""
 
+    small = int(mcts_cfg.small_simulations or 0)
+    use_pcr = small > 0 and (num_simulations is None
+                             or small < int(num_simulations
+                                            or mcts_cfg.num_simulations))
+
+    def do_search(st, ks, sims):
+        return search.run_mcts(env_cfg, mcts_cfg, evaluate, st, ks,
+                               add_noise=True, num_simulations=sims)
+
     def ply(carry, _):
         st, key = carry
-        key, ks, ka = jax.random.split(key, 3)
-        res = search.run_mcts(env_cfg, mcts_cfg, evaluate, st, ks,
-                              add_noise=True,
-                              num_simulations=num_simulations)
+        key, ks, ka, kc = jax.random.split(key, 4)
+        if use_pcr:
+            # one coin per lockstep ply (all envs share the sim budget —
+            # the batched search is a single static-shape program)
+            full = jax.random.bernoulli(kc, mcts_cfg.full_sim_fraction)
+            res = jax.lax.cond(
+                full,
+                lambda s, k: do_search(s, k, num_simulations),
+                lambda s, k: do_search(s, k, small),
+                st, ks)
+            pi_valid_ply = jnp.broadcast_to(full, (st.board.shape[0],))
+        else:
+            res = do_search(st, ks, num_simulations)
+            pi_valid_ply = jnp.ones((st.board.shape[0],), bool)
         visit_sum = jnp.maximum(res.visits.sum(-1, keepdims=True), 1.0)
         pi_target = res.visits / visit_sum
         greedy = st.move_count >= mcts_cfg.temperature_moves
@@ -77,13 +106,14 @@ def selfplay_chunk(
         action = search.sample_actions(ka, pi_act)
         nxt = vector.step(env_cfg, st, action)
         rec = (st.board, st.to_play, st.last_move, pi_target,
-               nxt.done, nxt.winner, res.root_value)
+               nxt.done, nxt.winner, res.root_value, pi_valid_ply)
         st = vector.reset_where(env_cfg, nxt, nxt.done)
         return (st, key), rec
 
     (state, _), recs = jax.lax.scan(ply, (state, key), None,
                                     length=num_plies)
-    boards, to_plays, lasts, pis, dones, winners, root_vals = recs
+    (boards, to_plays, lasts, pis, dones, winners, root_vals,
+     pi_valids) = recs
 
     # winner backfill: reverse scan carrying "winner of the game this ply
     # belongs to" (known once a later `done` has been seen)
@@ -108,6 +138,7 @@ def selfplay_chunk(
         pi=pis.reshape(-1, a),
         z=zs.reshape(-1),
         z_valid=valids.reshape(-1),
+        pi_valid=pi_valids.reshape(-1),
     )
     finished = dones.sum().astype(jnp.int32)
     stats = SelfplayStats(

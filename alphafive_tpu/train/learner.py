@@ -5,7 +5,9 @@ cross-entropy against the MCTS visit distribution + L2 on kernels, optimized
 with Adam. Differences, by design:
 
   * The value term is masked by `z_valid` (positions from unfinished games
-    have no value target — see train/actor.py) and renormalized.
+    have no value target — see train/actor.py) and renormalized; the policy
+    term is likewise masked by `pi_valid` (cheap playout-cap-randomized
+    searches are value-only positions, actor.py).
   * L2 is an explicit loss term over conv/dense kernels (the reference adds
     an L2 regularizer to the graph loss), so Adam sees it in the gradient —
     closer to the reference than decoupled weight decay.
@@ -75,10 +77,16 @@ def _l2_of_kernels(params) -> jnp.ndarray:
 
 def loss_fn(params, batch_stats, model: PolicyValueNet, batch,
             train_cfg: TrainConfig):
-    feats, pi, z, z_valid = batch
+    feats, pi, z, z_valid, pi_valid = (batch if len(batch) == 5
+                                       else (*batch, None))
     (logits, value), new_bs = apply_train(model, params, batch_stats, feats)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    policy_loss = -jnp.mean(jnp.sum(pi * logp, axis=-1))
+    ce = jnp.sum(pi * logp, axis=-1)
+    if pi_valid is None:
+        policy_loss = -jnp.mean(ce)
+    else:
+        policy_loss = (-jnp.sum(ce * pi_valid)
+                       / jnp.maximum(jnp.sum(pi_valid), 1.0))
     value_loss = (jnp.sum(jnp.square(value - z) * z_valid)
                   / jnp.maximum(jnp.sum(z_valid), 1.0))
     l2_loss = train_cfg.l2_coef * _l2_of_kernels(params)

@@ -57,7 +57,7 @@ def test_sample_only_filled_prefix():
     # make the filled entries distinctive: z = +1 everywhere
     e = e[:4] + (jnp.ones((3,), jnp.int8), jnp.ones((3,), bool))
     buf = rb.write(buf, *e)
-    feats, pi, z, zv = rb.sample(ENV, buf, jax.random.key(0), 64)
+    feats, pi, z, zv, piv = rb.sample(ENV, buf, jax.random.key(0), 64)
     assert feats.shape == (64, 5, 5, 4)
     np.testing.assert_array_equal(np.asarray(z), 1.0)
     np.testing.assert_array_equal(np.asarray(zv), 1.0)
@@ -81,7 +81,7 @@ def test_sample_symmetry_consistency():
                    jnp.full((m,), -1, jnp.int8), jnp.asarray(last),
                    jnp.asarray(pi), jnp.zeros((m,), jnp.int8),
                    jnp.ones((m,), bool))
-    feats, spi, _, _ = rb.sample(ENV, buf, jax.random.key(7), 32)
+    feats, spi, _, _, _ = rb.sample(ENV, buf, jax.random.key(7), 32)
     feats = np.asarray(feats)
     spi = np.asarray(spi)
     # π is stored bfloat16 in the ring → ~1e-3 tolerance on sums

@@ -246,3 +246,24 @@ def test_restore_train_state_from_any_preset(tiny, tmp_path):
     for a, b in zip(jax.tree.leaves(carry.train_state.params),
                     jax.tree.leaves(ts.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_playout_cap_randomization(tiny):
+    """With small_simulations on, plies split into full (pi_valid) and
+    cheap (value-only) searches; the split is per-ply, not per-env."""
+    cfg = dataclasses.replace(
+        tiny, mcts=dataclasses.replace(
+            tiny.mcts, small_simulations=4, full_sim_fraction=0.5))
+    e, t = 4, 20
+    state = vector.init(cfg.env, e)
+    fn = jax.jit(functools.partial(
+        actor.selfplay_chunk, cfg.env, cfg.mcts,
+        uniform_evaluator(cfg.env), num_plies=t))
+    _, traj, _ = fn(state, jax.random.key(5))
+    pv = np.asarray(traj.pi_valid).reshape(t, e)
+    # per-ply flag: all envs agree within a ply
+    assert (pv.all(axis=1) | (~pv).any(axis=1)).all()
+    assert pv.any() and (~pv).any()  # both kinds occurred (p=0.5, t=20)
+    # π rows are proper distributions regardless of budget
+    sums = np.asarray(traj.pi).sum(-1)
+    np.testing.assert_allclose(sums, 1.0, atol=1e-5)
