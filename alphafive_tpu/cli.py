@@ -166,15 +166,25 @@ def _load_model(cfg, workdir):
     import jax
     from alphafive_tpu.train import checkpoint as ckpt
 
-    if workdir and os.path.isdir(f"{workdir}/ckpt"):
-        mgr = ckpt.make_manager(f"{workdir}/ckpt")
-        if mgr.latest_step() is not None:
-            ts, saved_cfg = ckpt.restore_train_state(mgr)
-            assert saved_cfg.env.board_size == cfg.env.board_size, (
-                "checkpoint board size differs from preset")
-            print(f"restored checkpoint step {mgr.latest_step()} "
-                  f"from {workdir}/ckpt", file=sys.stderr)
-            return ts.params, ts.batch_stats, saved_cfg.net
+    if workdir:
+        # an explicit workdir must never silently fall through to the
+        # bundled model — its results would be attributed to the run
+        if os.path.isdir(f"{workdir}/ckpt"):
+            mgr = ckpt.make_manager(f"{workdir}/ckpt")
+            if mgr.latest_step() is not None:
+                ts, saved_cfg = ckpt.restore_train_state(mgr)
+                assert saved_cfg.env.board_size == cfg.env.board_size, (
+                    "checkpoint board size differs from preset")
+                print(f"restored checkpoint step {mgr.latest_step()} "
+                      f"from {workdir}/ckpt", file=sys.stderr)
+                return ts.params, ts.batch_stats, saved_cfg.net
+        print(f"WARNING: no checkpoint under {workdir}/ckpt — using a "
+              f"fresh (untrained) net", file=sys.stderr)
+        from alphafive_tpu.models.resnet import init_variables
+        variables = init_variables(cfg.env, cfg.net,
+                                   jax.random.key(cfg.train.seed))
+        return (variables["params"], variables.get("batch_stats", {}),
+                cfg.net)
 
     pre = _pretrained_dir(cfg)
     if pre is not None:

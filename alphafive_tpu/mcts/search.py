@@ -331,7 +331,8 @@ def run_mcts(
 
     visits = tree.n[:, 0, :].astype(jnp.float32)
     n_sum = visits.sum(-1)
-    root_value = jnp.where(n_sum > 0, tree.w[:, 0, :].sum(-1)
+    w_root = tree.w[:, 0, :].astype(jnp.float32).sum(-1) / w_scale
+    root_value = jnp.where(n_sum > 0, w_root
                            / jnp.maximum(n_sum, 1.0), 0.0)
     return SearchResult(visits=visits, root_value=root_value,
                         priors=root_p)

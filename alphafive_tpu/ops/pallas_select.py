@@ -66,13 +66,11 @@ def _select_kernel(a: int, depth_limit: int, c_puct: float,
                    pa_ref,          # VMEM [D, E] i32 out  rows are written
                                     #   at dynamic SUBLANE index — dynamic
                                     #   lane stores are not supported)
-                   rows,            # VMEM scratch [E, 5, A_pad] f32
+                   rows,            # VMEM scratch [E, 8, A_pad] f32
                    curv,            # VMEM scratch [1, E] i32
                    curs,            # SMEM scratch [1, E] i32
-                   acts,            # SMEM scratch [1, E] i32 (1=active)
                    sems,            # DMA sems [E]
-                   sem_cur,         # DMA sem for curv→curs
-                   sem_act):        # DMA sem for curv→acts
+                   sem_cur):        # DMA sem for curv→curs
     e_envs = rows.shape[0]
     a_pad = rows.shape[2]
     d = depth_limit
@@ -94,19 +92,14 @@ def _select_kernel(a: int, depth_limit: int, c_puct: float,
             packed_ref.at[e, idx], rows.at[e], sems.at[e]).wait()
         return _
 
-    def stage_to_smem(cur_vec, act_vec):
+    def stage_to_smem(cur_vec):
         curv[0, :] = cur_vec
-        cp1 = pltpu.make_async_copy(curv, curs, sem_cur)
-        cp1.start()
-        cp1.wait()
-        curv[0, :] = act_vec
-        cp2 = pltpu.make_async_copy(curv, acts, sem_act)
-        cp2.start()
-        cp2.wait()
+        cp = pltpu.make_async_copy(curv, curs, sem_cur)
+        cp.start()
+        cp.wait()
 
-    # prologue: every lane starts at the root (node 0), active
-    stage_to_smem(jnp.zeros((e_envs,), jnp.int32),
-                  jnp.ones((e_envs,), jnp.int32))
+    # prologue: every lane starts at the root (node 0)
+    stage_to_smem(jnp.zeros((e_envs,), jnp.int32))
     pn_ref[...] = jnp.zeros_like(pn_ref)
     pa_ref[...] = jnp.zeros_like(pa_ref)
     jax.lax.fori_loop(0, e_envs, issue, None)
@@ -151,8 +144,9 @@ def _select_kernel(a: int, depth_limit: int, c_puct: float,
         act = jnp.where(stop, act, jnp.where(revisit, -1, amax))
         stop = stop | newly_stop
 
-        # fetch the next rows for still-active lanes
-        stage_to_smem(nxt, (~stop).astype(jnp.int32))
+        # fetch the next rows (stopped lanes harmlessly re-fetch their
+        # leaf row — cheaper than predicating the copies)
+        stage_to_smem(nxt)
         jax.lax.fori_loop(0, e_envs, issue, None)
         jax.lax.fori_loop(0, e_envs, wait, None)
         return it + 1, nxt, act, stop.astype(jnp.int32), depth
@@ -208,9 +202,7 @@ def select_batch(packed: jnp.ndarray, num_actions: int, depth_limit: int,
             pltpu.VMEM((e, NUM_SEC, a_pad), jnp.float32),
             pltpu.VMEM((1, e), jnp.int32),
             pltpu.SMEM((1, e), jnp.int32),
-            pltpu.SMEM((1, e), jnp.int32),
             pltpu.SemaphoreType.DMA((e,)),
-            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

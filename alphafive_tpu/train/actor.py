@@ -74,9 +74,8 @@ def selfplay_chunk(
     """Play `num_plies` lockstep plies in every env (auto-resetting)."""
 
     small = int(mcts_cfg.small_simulations or 0)
-    use_pcr = small > 0 and (num_simulations is None
-                             or small < int(num_simulations
-                                            or mcts_cfg.num_simulations))
+    full_budget = int(num_simulations or mcts_cfg.num_simulations)
+    use_pcr = 0 < small < full_budget
 
     def do_search(st, ks, sims):
         return search.run_mcts(env_cfg, mcts_cfg, evaluate, st, ks,

@@ -66,9 +66,12 @@ def main():
 
     @jax.jit
     def forwards(x):
+        # acc feeds back into the input so XLA cannot hoist the forward
+        # out of the loop as loop-invariant
         def body(i, acc):
-            logits, v = apply_eval(model, ts.params, ts.batch_stats, x)
-            return acc + logits.sum() + v.sum()
+            logits, v = apply_eval(model, ts.params, ts.batch_stats,
+                                   x + acc * 1e-20)
+            return logits.sum() * 1e-20 + v.sum() * 1e-20
         return jax.lax.fori_loop(0, n_evals, body, 0.0)
 
     best = timeit(lambda: forwards(x))

@@ -153,26 +153,36 @@ def test_sample_actions_respects_support():
 
 def test_int16_value_sums_close_to_f32():
     """value_dtype="int16" (1/64 fixed-point W) must track the exact search
-    closely: same or near-same visit maxima on random positions."""
+    closely — NONZERO leaf values, so the scaling paths are exercised (a
+    zero-value evaluator made both root_value and W identically 0 and let
+    a 64x root_value scaling bug slip through)."""
     import dataclasses
     import functools
     from alphafive_tpu.config import EnvConfig, MCTSConfig
     from alphafive_tpu.env import vector
-    from alphafive_tpu.models.evaluator import uniform_evaluator
+    from tests.test_pallas_select import frozen_net_evaluator
 
     env_cfg = EnvConfig(board_size=7, n_in_row=4)
     base = MCTSConfig(num_simulations=60)
     fixed = dataclasses.replace(base, value_dtype="int16")
-    ev = uniform_evaluator(env_cfg)
+    ev = frozen_net_evaluator(env_cfg, jax.random.key(2))
     state = vector.init(env_cfg, 4)
+    # play a few random stones so values are nonzero and varied
     key = jax.random.key(11)
+    for i in range(4):
+        key, k = jax.random.split(key)
+        legal = state.board == 0
+        logits = jnp.where(legal, 0.0, -jnp.inf)
+        acts = jax.random.categorical(k, logits, axis=-1).astype(jnp.int32)
+        state = vector.step(env_cfg, state, acts)
 
     ra = jax.jit(functools.partial(
         search.run_mcts, env_cfg, base, ev, add_noise=False))(state, key)
     rb = jax.jit(functools.partial(
         search.run_mcts, env_cfg, fixed, ev, add_noise=False))(state, key)
-    # with uniform priors and zero leaf values the searches are identical
-    np.testing.assert_array_equal(np.asarray(ra.visits),
-                                  np.asarray(rb.visits))
+    assert float(np.abs(np.asarray(ra.root_value)).max()) > 0.01
+    # quantized W perturbs at most a few visits; root values track closely
+    diff = np.abs(np.asarray(ra.visits) - np.asarray(rb.visits)).sum(-1)
+    assert (diff <= 8).all(), diff
     np.testing.assert_allclose(np.asarray(ra.root_value),
-                               np.asarray(rb.root_value), atol=1 / 64)
+                               np.asarray(rb.root_value), atol=0.05)

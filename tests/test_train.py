@@ -262,7 +262,7 @@ def test_playout_cap_randomization(tiny):
     _, traj, _ = fn(state, jax.random.key(5))
     pv = np.asarray(traj.pi_valid).reshape(t, e)
     # per-ply flag: all envs agree within a ply
-    assert (pv.all(axis=1) | (~pv).any(axis=1)).all()
+    assert (pv.all(axis=1) | (~pv).all(axis=1)).all()
     assert pv.any() and (~pv).any()  # both kinds occurred (p=0.5, t=20)
     # π rows are proper distributions regardless of budget
     sums = np.asarray(traj.pi).sum(-1)
