@@ -93,6 +93,7 @@ def test_features_match_scalar():
     (FREESTYLE, 9, 5),
     (FREESTYLE, 5, 4),
     (RENJU_LITE, 5, 4),
+    (RENJU_LITE, 9, 5),  # renju at real n_in_row (overline reachable)
 ])
 def test_trajectory_parity_random_games(rules, size, n):
     """Fixed-seed random playouts: vector env == scalar oracle, every field,
