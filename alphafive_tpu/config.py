@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 FREESTYLE = "freestyle"  # >=5 in a row wins (reference rules, SURVEY.md §2)
 RENJU_LITE = "renju_lite"  # black needs exactly 5; black overline is a loss

@@ -30,7 +30,6 @@ bf16 priors keep the 19×19/10-block config (BASELINE.json:11) in budget via
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax

@@ -9,7 +9,7 @@ and net-free random rollouts (the pure-MCTS Elo anchor, §3.5).
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ without a cluster").
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

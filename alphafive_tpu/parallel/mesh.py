@@ -25,8 +25,7 @@ shardings, let XLA insert collectives — here there are none to insert).
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ so "whose turn" is a scalar `lax.cond` between the two searches.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

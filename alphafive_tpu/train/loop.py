@@ -13,7 +13,6 @@ import time
 from typing import Optional
 
 import jax
-import numpy as np
 
 from alphafive_tpu.config import RunConfig
 from alphafive_tpu import parallel
