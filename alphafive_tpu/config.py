@@ -73,6 +73,11 @@ class MCTSConfig:
     # (value-only position). Off by default.
     small_simulations: int = 0
     full_sim_fraction: float = 0.25
+    # Forced playouts + policy target pruning (KataGo §3.4): during noisy
+    # self-play search, a root child with n > 0 is force-selected while
+    # n < sqrt(k · p · Σn); at π extraction the forced share is subtracted
+    # from non-best children (train/actor.py). 0 disables (exact PUCT).
+    forced_playouts_k: float = 0.0
     # Selection implementation: "xla" (vmapped while_loop) or "pallas"
     # (packed-tree descent kernel, ops/pallas_select.py). Identical search
     # results; different perf/memory trade (see search_packed.py).

@@ -119,7 +119,7 @@ def _puct_scores(n_row, w_row, p_row, legal, c_puct):
 
 
 def _select_one(tree_n, tree_w, tree_p, tree_child, tree_done,
-                c_puct, depth_limit, w_inv_scale=1.0):
+                c_puct, depth_limit, w_inv_scale=1.0, forced_k=0.0):
     """Single-env PUCT descent (vmapped over envs by the caller).
 
     Legality comes from the prior's sign (illegal cells store -1 — see
@@ -155,8 +155,14 @@ def _select_one(tree_n, tree_w, tree_p, tree_child, tree_done,
         p_signed = tree_p[cur].astype(jnp.float32)
         legal = p_signed >= 0
         w_row = tree_w[cur].astype(jnp.float32) * w_inv_scale
-        score = _puct_scores(tree_n[cur], w_row,
-                             jnp.maximum(p_signed, 0.0), legal, c_puct)
+        p_row = jnp.maximum(p_signed, 0.0)
+        score = _puct_scores(tree_n[cur], w_row, p_row, legal, c_puct)
+        # forced playouts (KataGo §3.4, config.forced_playouts_k): at the
+        # root, a visited child still owed forced visits outranks everything
+        nf = tree_n[cur].astype(jnp.float32)
+        forced = (legal & (depth == 0) & (nf > 0)
+                  & (nf * nf < forced_k * p_row * jnp.sum(nf)))
+        score = jnp.where(forced, jnp.inf, score)
         a = jnp.argmax(score).astype(jnp.int32)
         ch = tree_child[cur, a].astype(jnp.int32)
         stop = revisit | (ch < 0)
@@ -224,6 +230,8 @@ def run_mcts(
     value_dtype = jnp.int16 if fixed_w else jnp.float32
     w_scale = 64.0 if fixed_w else 1.0
     c_puct = jnp.float32(mcts_cfg.c_puct)
+    # forced playouts only perturb noisy self-play searches
+    forced_k = jnp.float32(mcts_cfg.forced_playouts_k if add_noise else 0.0)
 
     key, knoise, keval = jax.random.split(key, 3)
 
@@ -253,7 +261,7 @@ def run_mcts(
 
     earange = jnp.arange(e)
     select_v = jax.vmap(_select_one,
-                        in_axes=(0, 0, 0, 0, 0, None, None, None))
+                        in_axes=(0, 0, 0, 0, 0, None, None, None, None))
 
     def sim_body(s, carry):
         tree, key = carry
@@ -261,7 +269,7 @@ def run_mcts(
 
         leaf_parent, sel_act, depth, pn, pa = select_v(
             tree.n, tree.w, tree.p, tree.child, tree.node_done,
-            c_puct, depth_limit, 1.0 / w_scale)
+            c_puct, depth_limit, 1.0 / w_scale, forced_k)
 
         # revisit lanes (action = -1): terminal node OR live node at the
         # depth cap — no expansion, back up the leaf's own value

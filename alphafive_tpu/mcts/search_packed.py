@@ -96,6 +96,7 @@ def run_mcts_packed(
     depth_limit = min(nn, mcts_cfg.max_depth or nn)
     a_pad = ps.pad_actions(a)
     c_puct = float(mcts_cfg.c_puct)
+    forced_k = float(mcts_cfg.forced_playouts_k) if add_noise else 0.0
 
     key, knoise, keval = jax.random.split(key, 3)
 
@@ -130,7 +131,8 @@ def run_mcts_packed(
         key, keval = jax.random.split(key)
 
         leaf_parent, sel_act, depth, pn, pa = ps.select_batch(
-            tree.packed, a, depth_limit, c_puct, interpret=interpret)
+            tree.packed, a, depth_limit, c_puct, forced_k,
+            interpret=interpret)
 
         is_revisit = sel_act < 0
         safe_act = jnp.maximum(sel_act, 0)

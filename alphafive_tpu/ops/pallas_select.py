@@ -58,6 +58,7 @@ def pad_actions(a: int) -> int:
 
 
 def _select_kernel(a: int, depth_limit: int, c_puct: float,
+                   forced_k: float,
                    packed_ref,      # HBM [E, NN, 5, A_pad]
                    leaf_ref,        # VMEM [1, E] i32 out
                    act_ref,         # VMEM [1, E] i32 out
@@ -126,6 +127,10 @@ def _select_kernel(a: int, depth_limit: int, c_puct: float,
         ns = 1.0 + jnp.sum(n, axis=-1, keepdims=True)
         u = c_puct * pp * jnp.sqrt(ns) / (1.0 + n)
         score = jnp.where(legal, q + u, -jnp.inf)
+        # forced playouts at the root (KataGo; see mcts/search.py)
+        forced = (legal & (depth[:, None] == 0) & (n > 0)
+                  & (n * n < forced_k * pp * (ns - 1.0)))
+        score = jnp.where(forced, jnp.inf, score)
         amax = jnp.argmax(score, axis=-1).astype(jnp.int32)
         onehot = lane == amax[:, None]
         ch = jnp.sum(jnp.where(onehot, child_f, 0.0),
@@ -169,8 +174,8 @@ def _select_kernel(a: int, depth_limit: int, c_puct: float,
 
 
 def select_batch(packed: jnp.ndarray, num_actions: int, depth_limit: int,
-                 c_puct: float, interpret: bool = False
-                 ) -> Tuple[jnp.ndarray, ...]:
+                 c_puct: float, forced_k: float = 0.0,
+                 interpret: bool = False) -> Tuple[jnp.ndarray, ...]:
     """Run the descent kernel.
 
     packed: f32[E, NN, 5, A_pad]. Returns (leaf[E], act[E], depth[E],
@@ -180,7 +185,7 @@ def select_batch(packed: jnp.ndarray, num_actions: int, depth_limit: int,
     assert sec == NUM_SEC
     d = depth_limit
     kernel = functools.partial(_select_kernel, num_actions, d,
-                               float(c_puct))
+                               float(c_puct), float(forced_k))
     leaf, act, depth, pn, pa = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],

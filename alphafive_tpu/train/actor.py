@@ -40,6 +40,23 @@ from alphafive_tpu.env.vector import EnvState
 from alphafive_tpu.mcts import search
 
 
+def prune_forced_visits(visits: jnp.ndarray, priors: jnp.ndarray,
+                        forced_k: float) -> jnp.ndarray:
+    """Policy target pruning (KataGo §3.4): subtract the forced share
+    sqrt(k·p·Σn) from every non-best root child before normalizing π, so
+    the exploration that forced playouts injected does not contaminate the
+    policy target. Children pruned below 1 visit contribute nothing."""
+    if forced_k <= 0:
+        return visits
+    n_sum = visits.sum(-1, keepdims=True)
+    n_forced = jnp.sqrt(forced_k * priors * n_sum)
+    best = jnp.argmax(visits, axis=-1)
+    is_best = jax.nn.one_hot(best, visits.shape[-1], dtype=bool)
+    pruned = jnp.maximum(visits - n_forced, 0.0)
+    pruned = jnp.where(pruned < 1.0, 0.0, pruned)
+    return jnp.where(is_best, visits, pruned)
+
+
 @struct.dataclass
 class Trajectory:
     """Flattened chunk of T×E positions (leading axis T*E)."""
@@ -97,8 +114,10 @@ def selfplay_chunk(
         else:
             res = do_search(st, ks, num_simulations)
             pi_valid_ply = jnp.ones((st.board.shape[0],), bool)
-        visit_sum = jnp.maximum(res.visits.sum(-1, keepdims=True), 1.0)
-        pi_target = res.visits / visit_sum
+        target_visits = prune_forced_visits(
+            res.visits, res.priors, float(mcts_cfg.forced_playouts_k))
+        visit_sum = jnp.maximum(target_visits.sum(-1, keepdims=True), 1.0)
+        pi_target = target_visits / visit_sum
         greedy = st.move_count >= mcts_cfg.temperature_moves
         pi_act = search.pi_from_visits(
             res.visits, jnp.ones(st.board.shape[0]), greedy)

@@ -267,3 +267,44 @@ def test_playout_cap_randomization(tiny):
     # π rows are proper distributions regardless of budget
     sums = np.asarray(traj.pi).sum(-1)
     np.testing.assert_allclose(sums, 1.0, atol=1e-5)
+
+
+def test_forced_playouts_and_pruning(tiny):
+    """forced_playouts_k forces visited root children to a sqrt(k p N)
+    floor during noisy search, and π extraction prunes the forced share."""
+    import numpy as _np
+    from alphafive_tpu.mcts import search as _search
+    from alphafive_tpu.train.actor import prune_forced_visits
+
+    # pruning math on a hand-made case
+    visits = jnp.asarray([[20.0, 8.0, 2.0, 0.0]])
+    priors = jnp.asarray([[0.4, 0.3, 0.2, 0.1]])
+    # n_forced = sqrt(2*p*30): child1 8-4.24=3.76 (partial), child2 -> 0
+    out = _np.asarray(prune_forced_visits(visits, priors, 2.0))
+    assert out[0, 0] == 20.0                      # best child untouched
+    assert 0.0 < out[0, 1] < 8.0                  # partially pruned
+    assert out[0, 2] == 0.0 and out[0, 3] == 0.0
+    # k=0 is the identity
+    _np.testing.assert_array_equal(
+        _np.asarray(prune_forced_visits(visits, priors, 0.0)),
+        _np.asarray(visits))
+
+    # end-to-end: forced search spreads root visits wider than plain PUCT
+    cfg_f = dataclasses.replace(
+        tiny.mcts, num_simulations=48, forced_playouts_k=2.0)
+    e = 4
+    state = vector.init(tiny.env, e)
+    rf = jax.jit(functools.partial(
+        _search.run_mcts, tiny.env, cfg_f, uniform_evaluator(tiny.env),
+        add_noise=True))(state, jax.random.key(0))
+    rp = jax.jit(functools.partial(
+        _search.run_mcts, tiny.env, tiny.mcts, uniform_evaluator(tiny.env),
+        add_noise=True, num_simulations=48))(state, jax.random.key(0))
+    vf, vp = np.asarray(rf.visits), np.asarray(rp.visits)
+    assert (vf != vp).any()  # the knob changes the search
+    assert (vf.sum(-1) == vp.sum(-1)).all()  # same total budget
+    # forced playouts push visited children toward the sqrt(k p N) floor:
+    # the minimum visit count among visited children cannot shrink
+    def min_visited(v):
+        return np.where(v > 0, v, np.inf).min(-1)
+    assert (min_visited(vf) >= min_visited(vp)).all()
