@@ -94,25 +94,27 @@ def selfplay_chunk(
     full_budget = int(num_simulations or mcts_cfg.num_simulations)
     use_pcr = 0 < small < full_budget
 
-    def do_search(st, ks, sims):
+    def do_search(st, ks, sims, noise):
         return search.run_mcts(env_cfg, mcts_cfg, evaluate, st, ks,
-                               add_noise=True, num_simulations=sims)
+                               add_noise=noise, num_simulations=sims)
 
     def ply(carry, _):
         st, key = carry
         key, ks, ka, kc = jax.random.split(key, 4)
         if use_pcr:
             # one coin per lockstep ply (all envs share the sim budget —
-            # the batched search is a single static-shape program)
+            # the batched search is a single static-shape program). Only
+            # full searches carry Dirichlet noise / forced playouts: cheap
+            # plies should play the best cheap move, not explore (KataGo).
             full = jax.random.bernoulli(kc, mcts_cfg.full_sim_fraction)
             res = jax.lax.cond(
                 full,
-                lambda s, k: do_search(s, k, num_simulations),
-                lambda s, k: do_search(s, k, small),
+                lambda s, k: do_search(s, k, num_simulations, True),
+                lambda s, k: do_search(s, k, small, False),
                 st, ks)
             pi_valid_ply = jnp.broadcast_to(full, (st.board.shape[0],))
         else:
-            res = do_search(st, ks, num_simulations)
+            res = do_search(st, ks, num_simulations, True)
             pi_valid_ply = jnp.ones((st.board.shape[0],), bool)
         target_visits = prune_forced_visits(
             res.visits, res.priors, float(mcts_cfg.forced_playouts_k))
