@@ -2,12 +2,21 @@
 
 The reference's `policy_evaluate` plays n games of current-net MCTS vs a
 pure-MCTS anchor, swapping who moves first, and gates promotion on win rate.
-TPU-first: all games of one color assignment run as one batched
-`lax.while_loop` — both players are array-MCTS instances (the anchor just
-uses the net-free rollout evaluator), searches are greedy (no noise, τ→0).
+TPU-first: all games of one color assignment run batched — both players are
+array-MCTS instances (the anchor just uses the net-free rollout evaluator),
+searches are greedy (no noise, τ→0).
 
-Because eval games never auto-reset, every live env has the same ply parity,
-so "whose turn" is a scalar `lax.cond` between the two searches.
+Execution is HOST-STEPPED in small ply chunks rather than one device-side
+while_loop over whole games: big-anchor searches (thousands of rollout
+simulations per move) make a whole-game program run for minutes, which
+remote-TPU runtimes kill as hung (observed on the axon tunnel: the worker
+watchdog restarted mid-eval at 3200-rollout anchors, taking the training
+process with it — SURVEY.md §5.3 failure detection in practice). Each
+device call advances every live game by `plies_per_call` plies and
+returns; the host loops until all games finish.
+
+Because eval games never auto-reset, every live env has the same ply
+parity, so "whose turn" is a scalar `lax.cond` on the ply index.
 """
 
 from __future__ import annotations
@@ -24,40 +33,48 @@ from alphafive_tpu.env import vector
 from alphafive_tpu.mcts import search
 
 
-def play_games(env_cfg: EnvConfig, mcts_cfg: MCTSConfig,
-               eval_black: Callable, eval_white: Callable,
-               sims_black: int, sims_white: int,
-               num_games: int, key: jax.Array):
-    """Black = eval_black searcher, white = eval_white. Returns final state.
-
-    Jit-compile the returned call (both searches trace once inside a cond).
-    """
-    state = vector.init(env_cfg, num_games)
+def _play_plies(env_cfg: EnvConfig, mcts_cfg: MCTSConfig,
+                eval_black: Callable, eval_white: Callable,
+                sims_black: int, sims_white: int, plies_per_call: int,
+                state, key, ply0):
+    """Advance all live games by plies_per_call plies (jitted by caller)."""
 
     def do_search(evaluate, sims, st, k):
         return search.run_mcts(env_cfg, mcts_cfg, evaluate, st, k,
                                num_simulations=sims, add_noise=False)
 
-    def cond_fn(c):
-        st, _, _ = c
-        return ~st.done.all()
-
-    def body(c):
-        st, key, ply = c
+    def body(i, carry):
+        st, key = carry
         key, ks = jax.random.split(key)
         res = jax.lax.cond(
-            ply % 2 == 0,
+            (ply0 + i) % 2 == 0,
             lambda s, k: do_search(eval_black, sims_black, s, k),
             lambda s, k: do_search(eval_white, sims_white, s, k),
             st, ks)
         # greedy action; frozen envs step harmlessly (no-op)
         action = jnp.argmax(res.visits, axis=-1).astype(jnp.int32)
-        st = vector.step(env_cfg, st, action)
-        return st, key, ply + 1
+        return vector.step(env_cfg, st, action), key
 
-    final, _, _ = jax.lax.while_loop(
-        cond_fn, body, (state, key, jnp.int32(0)))
-    return final
+    state, _ = jax.lax.fori_loop(0, plies_per_call, body, (state, key))
+    return state
+
+
+def play_games(env_cfg: EnvConfig, mcts_cfg: MCTSConfig,
+               eval_black: Callable, eval_white: Callable,
+               sims_black: int, sims_white: int,
+               num_games: int, key: jax.Array,
+               plies_per_call: int = 2):
+    """Black = eval_black searcher, white = eval_white. Returns final state."""
+    state = vector.init(env_cfg, num_games)
+    step_fn = jax.jit(functools.partial(
+        _play_plies, env_cfg, mcts_cfg, eval_black, eval_white,
+        sims_black, sims_white, plies_per_call))
+    ply = 0
+    while ply < env_cfg.num_actions and not bool(state.done.all()):
+        key, k = jax.random.split(key)
+        state = step_fn(state, k, jnp.int32(ply))
+        ply += plies_per_call
+    return state
 
 
 def evaluate_vs(env_cfg: EnvConfig, mcts_cfg: MCTSConfig,
@@ -71,13 +88,10 @@ def evaluate_vs(env_cfg: EnvConfig, mcts_cfg: MCTSConfig,
     half = max(num_games // 2, 1)
     k1, k2 = jax.random.split(key)
 
-    run_ab = jax.jit(functools.partial(
-        play_games, env_cfg, mcts_cfg, eval_a, eval_b, sims_a, sims_b, half))
-    run_ba = jax.jit(functools.partial(
-        play_games, env_cfg, mcts_cfg, eval_b, eval_a, sims_b, sims_a, half))
-
-    fa = run_ab(k1)  # A is black
-    fb = run_ba(k2)  # A is white
+    fa = play_games(env_cfg, mcts_cfg, eval_a, eval_b, sims_a, sims_b,
+                    half, k1)   # A is black
+    fb = play_games(env_cfg, mcts_cfg, eval_b, eval_a, sims_b, sims_a,
+                    half, k2)   # A is white
     wa = np.asarray(fa.winner)
     wb = np.asarray(fb.winner)
     wins = int((wa == 1).sum() + (wb == -1).sum())

@@ -23,6 +23,7 @@ class LadderState:
     level: int = 0                 # current anchor index
     base_rollouts: int = 200       # anchor 0 budget
     promote_score: float = 0.85    # move up when score >= this
+    max_rollouts: int = 12_800     # stop doubling here (eval cost ∝ budget)
     history: List[dict] = dataclasses.field(default_factory=list)
 
     @property
@@ -48,6 +49,7 @@ def update_ladder(ladder: LadderState, result: dict,
         "step": step, "level": ladder.level,
         "anchor_rollouts": ladder.anchor_rollouts, **result, "elo": elo,
     })
-    if result["score"] >= ladder.promote_score:
+    if (result["score"] >= ladder.promote_score
+            and ladder.anchor_rollouts * 2 <= ladder.max_rollouts):
         ladder.level += 1
     return elo
