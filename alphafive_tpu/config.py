@@ -182,7 +182,7 @@ def chip_15x15() -> RunConfig:
         env=EnvConfig(board_size=15),
         net=NetConfig(blocks=4, channels=64),
         mcts=MCTSConfig(num_simulations=400, max_depth=64,
-                        prior_dtype="bfloat16"),
+                        prior_dtype="bfloat16", value_dtype="int16"),
         train=TrainConfig(num_envs=256, selfplay_plies_per_iter=32),
     )
 
@@ -195,7 +195,7 @@ def host_15x15() -> RunConfig:
         env=EnvConfig(board_size=15),
         net=NetConfig(blocks=4, channels=64),
         mcts=MCTSConfig(num_simulations=400, max_depth=64,
-                        prior_dtype="bfloat16"),
+                        prior_dtype="bfloat16", value_dtype="int16"),
         replay=ReplayConfig(capacity=500_000, batch_size=2_048,
                             min_fill=16_384),
         train=TrainConfig(num_envs=2_048, selfplay_plies_per_iter=16,
@@ -212,7 +212,7 @@ def pod_v5p16() -> RunConfig:
         env=EnvConfig(board_size=15),
         net=NetConfig(blocks=4, channels=64),
         mcts=MCTSConfig(num_simulations=400, max_depth=64,
-                        prior_dtype="bfloat16"),
+                        prior_dtype="bfloat16", value_dtype="int16"),
         replay=ReplayConfig(capacity=1_000_000, batch_size=4_096,
                             min_fill=32_768),
         train=TrainConfig(num_envs=8_192, selfplay_plies_per_iter=16,
@@ -229,7 +229,7 @@ def renju_19x19() -> RunConfig:
         env=EnvConfig(board_size=19, rules=RENJU_LITE),
         net=NetConfig(blocks=10, channels=128),
         mcts=MCTSConfig(num_simulations=400, max_depth=64,
-                        prior_dtype="bfloat16"),
+                        prior_dtype="bfloat16", value_dtype="int16"),
         replay=ReplayConfig(capacity=300_000, batch_size=1_024,
                             min_fill=8_192),
         train=TrainConfig(num_envs=512, selfplay_plies_per_iter=16),
