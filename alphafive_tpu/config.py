@@ -77,6 +77,11 @@ class MCTSConfig:
     # self-play search, a root child with n > 0 is force-selected while
     # n < sqrt(k · p · Σn); at π extraction the forced share is subtracted
     # from non-best children (train/actor.py). 0 disables (exact PUCT).
+    # Approximation vs KataGo: the FULL theoretical quota is subtracted,
+    # not just playouts actually identified as forced, so strong non-best
+    # children are pruned slightly harder than KataGo would (biasing π a
+    # little toward the argmax move). Accepted: tracking per-playout
+    # forcedness would need an extra [E,A] carry through the sim loop.
     forced_playouts_k: float = 0.0
     # Selection implementation: "xla" (vmapped while_loop) or "pallas"
     # (packed-tree descent kernel, ops/pallas_select.py). Identical search

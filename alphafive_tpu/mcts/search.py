@@ -211,10 +211,12 @@ def run_mcts(
     """
     if mcts_cfg.select_impl == "pallas":
         from alphafive_tpu.mcts.search_packed import run_mcts_packed
+        # the Mosaic kernel only compiles on real TPUs; every other backend
+        # (cpu, gpu, ...) runs it in interpret mode (ADVICE.md round-1)
         return run_mcts_packed(
             env_cfg, mcts_cfg, evaluate, state, key,
             num_simulations=num_simulations, add_noise=add_noise,
-            interpret=jax.default_backend() == "cpu")
+            interpret=jax.default_backend() != "tpu")
     sims = int(num_simulations or mcts_cfg.num_simulations)
     e, a = state.board.shape
     nn = sims + 1
@@ -223,10 +225,11 @@ def run_mcts(
     prior_dtype = (jnp.bfloat16 if mcts_cfg.prior_dtype == "bfloat16"
                    else jnp.float32)
     # fixed-point value sums (config.MCTSConfig.value_dtype): W stored as
-    # int16 in 1/64 steps; |W| <= 64*(sims+1) must fit int16
-    fixed_w = mcts_cfg.value_dtype == "int16"
-    if fixed_w:
-        assert nn <= 511, "int16 value sums need num_simulations < 512"
+    # int16 in 1/64 steps; |W| <= 64*(sims+1) must fit int16. Budgets that
+    # don't fit (e.g. big pure-MCTS anchor searches reusing a perf preset's
+    # mcts config) fall back to exact float32 sums rather than crashing
+    # (ADVICE.md round-1 high: eval at >=512 anchor rollouts).
+    fixed_w = mcts_cfg.value_dtype == "int16" and nn <= 511
     value_dtype = jnp.int16 if fixed_w else jnp.float32
     w_scale = 64.0 if fixed_w else 1.0
     c_puct = jnp.float32(mcts_cfg.c_puct)

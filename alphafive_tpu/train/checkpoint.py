@@ -50,6 +50,19 @@ def save(mgr: ocp.CheckpointManager, iteration: int, carry: TrainCarry,
     mgr.wait_until_finished()
 
 
+def _ladder_from_dict(lad: Dict[str, Any]) -> LadderState:
+    """Rebuild LadderState tolerating fields added after a save (e.g.
+    max_rollouts — ADVICE.md round-1: dropping it silently reverted a
+    customized anchor cap on resume)."""
+    defaults = LadderState()
+    return LadderState(
+        level=lad["level"],
+        base_rollouts=lad["base_rollouts"],
+        promote_score=lad["promote_score"],
+        max_rollouts=lad.get("max_rollouts", defaults.max_rollouts),
+        history=lad["history"])
+
+
 def read_meta(mgr: ocp.CheckpointManager,
               iteration: Optional[int] = None):
     """(iteration, RunConfig, LadderState) of a checkpoint's metadata."""
@@ -59,11 +72,7 @@ def read_meta(mgr: ocp.CheckpointManager,
         meta=ocp.args.JsonRestore()))
     meta = out["meta"]
     cfg = RunConfig.from_json(meta["config"])
-    lad = json.loads(meta["ladder"])
-    ladder = LadderState(level=lad["level"],
-                         base_rollouts=lad["base_rollouts"],
-                         promote_score=lad["promote_score"],
-                         history=lad["history"])
+    ladder = _ladder_from_dict(json.loads(meta["ladder"]))
     return int(meta["iteration"]), cfg, ladder
 
 
@@ -139,10 +148,6 @@ def restore(mgr: ocp.CheckpointManager, carry_like: TrainCarry,
     ))
     meta = out["meta"]
     cfg = RunConfig.from_json(meta["config"])
-    lad = json.loads(meta["ladder"])
-    ladder = LadderState(level=lad["level"],
-                         base_rollouts=lad["base_rollouts"],
-                         promote_score=lad["promote_score"],
-                         history=lad["history"])
+    ladder = _ladder_from_dict(json.loads(meta["ladder"]))
     key = jax.random.wrap_key_data(out["state"]["key"])
     return int(meta["iteration"]), out["state"]["carry"], key, cfg, ladder

@@ -21,6 +21,7 @@ parity, so "whose turn" is a scalar `lax.cond` on the ply index.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Callable, Dict
 
@@ -85,7 +86,16 @@ def evaluate_vs(env_cfg: EnvConfig, mcts_cfg: MCTSConfig,
 
     Returns win/draw/loss counts and score for A (host floats).
     """
-    half = max(num_games // 2, 1)
+    if num_games % 2 or num_games < 2:
+        raise ValueError(
+            f"num_games must be even and >= 2 (got {num_games}): each side "
+            "plays both colors the same number of times")
+    # Evaluation is a measurement: use exact float32 value sums even when a
+    # perf preset's search config asks for int16 fixed-point (whose budget
+    # cap the big pure-MCTS anchor searches would exceed anyway — ADVICE.md
+    # round-1 high finding).
+    mcts_cfg = dataclasses.replace(mcts_cfg, value_dtype="float32")
+    half = num_games // 2
     k1, k2 = jax.random.split(key)
 
     fa = play_games(env_cfg, mcts_cfg, eval_a, eval_b, sims_a, sims_b,

@@ -83,7 +83,11 @@ def train(cfg: RunConfig, workdir: Optional[str] = None,
         })
 
         if cfg.train.eval_every_iters and (it + 1) % cfg.train.eval_every_iters == 0:
-            elo = run_eval(cfg, carry, ladder, it, key, log)
+            # dedicated split keeps the eval stream decorrelated from the
+            # iteration keys (fold_in(key, it) on a key that is also split
+            # for the next iteration risks correlated streams)
+            key, keval = jax.random.split(key)
+            elo = run_eval(cfg, carry, ladder, it, keval, log)
             # best-model tracking keyed on eval rating (SURVEY.md §5.4)
             best_so_far = max((h["elo"] for h in ladder.history[:-1]),
                               default=-1e9)
