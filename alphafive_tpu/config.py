@@ -16,6 +16,13 @@ from typing import Any, Dict, Optional
 
 FREESTYLE = "freestyle"  # >=5 in a row wins (reference rules, SURVEY.md §2)
 RENJU_LITE = "renju_lite"  # black needs exactly 5; black overline is a loss
+# Renju forbidden-move rules for black: overline, double-four and
+# double-three all lose (exact five wins and takes precedence); white plays
+# unrestricted and wins with >=5. Open threes are detected non-recursively
+# (RIF's "the straight-four point must itself not be forbidden" recursion
+# is out of scope — it changes outcomes only in rare nested positions);
+# see env/scalar.py for the operational definitions.
+RENJU = "renju"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,6 +94,16 @@ class MCTSConfig:
     # (packed-tree descent kernel, ops/pallas_select.py). Identical search
     # results; different perf/memory trade (see search_packed.py).
     select_impl: str = "xla"
+    # Leaf-parallel search (virtual-visit MCTS): each pass selects
+    # `leaf_batch` leaves per env (+1 virtual visits on the ROOT edges
+    # between descents so lanes diverge — see search._select_one for why
+    # root-only), expands them, and evaluates all E·leaf_batch leaves in
+    # ONE net forward. Amortizes both the per-simulation forward launch
+    # and the tree-array relayout traffic (docs/PERFORMANCE.md).
+    # leaf_batch=1 is bit-identical to sequential MCTS (the oracle-parity
+    # tests run there); >1 trades a slightly stale-statistics search for
+    # large throughput (equal-budget strength A/B in docs/PERFORMANCE.md).
+    leaf_batch: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -114,6 +131,13 @@ class TrainConfig:
     # KL-adaptive lr multiplier target (SURVEY.md §3.1 reference-family
     # `policy_update`): KL(π_old‖π_new) per update phase steers lr_scale.
     kl_target: float = 0.02
+    # KL early-stop INSIDE the update phase (SURVEY.md §3.1: the reference
+    # breaks out of its ~5 update epochs when KL(π_old‖π_new) exceeds a
+    # multiple of the target — the guard-rail that aborts a too-big
+    # update). When > 0, each learner step probes KL against the
+    # phase-start policy and the remaining steps of the phase are masked
+    # once KL > kl_stop_factor * kl_target. 0 disables (no probe forwards).
+    kl_stop_factor: float = 0.0
     seed: int = 0
     eval_every_iters: int = 50
     eval_games: int = 32
@@ -187,7 +211,8 @@ def chip_15x15() -> RunConfig:
         env=EnvConfig(board_size=15),
         net=NetConfig(blocks=4, channels=64),
         mcts=MCTSConfig(num_simulations=400, max_depth=64,
-                        prior_dtype="bfloat16", value_dtype="int16"),
+                        prior_dtype="bfloat16", value_dtype="int16",
+                        leaf_batch=8),
         train=TrainConfig(num_envs=256, selfplay_plies_per_iter=32),
     )
 
@@ -200,7 +225,8 @@ def host_15x15() -> RunConfig:
         env=EnvConfig(board_size=15),
         net=NetConfig(blocks=4, channels=64),
         mcts=MCTSConfig(num_simulations=400, max_depth=64,
-                        prior_dtype="bfloat16", value_dtype="int16"),
+                        prior_dtype="bfloat16", value_dtype="int16",
+                        leaf_batch=8),
         replay=ReplayConfig(capacity=500_000, batch_size=2_048,
                             min_fill=16_384),
         train=TrainConfig(num_envs=2_048, selfplay_plies_per_iter=16,
@@ -217,7 +243,8 @@ def pod_v5p16() -> RunConfig:
         env=EnvConfig(board_size=15),
         net=NetConfig(blocks=4, channels=64),
         mcts=MCTSConfig(num_simulations=400, max_depth=64,
-                        prior_dtype="bfloat16", value_dtype="int16"),
+                        prior_dtype="bfloat16", value_dtype="int16",
+                        leaf_batch=8),
         replay=ReplayConfig(capacity=1_000_000, batch_size=4_096,
                             min_fill=32_768),
         train=TrainConfig(num_envs=8_192, selfplay_plies_per_iter=16,
@@ -231,10 +258,11 @@ def renju_19x19() -> RunConfig:
     stressing MCTS tree memory (SURVEY.md §5.7)."""
     return RunConfig(
         name="renju_19x19",
-        env=EnvConfig(board_size=19, rules=RENJU_LITE),
+        env=EnvConfig(board_size=19, rules=RENJU),
         net=NetConfig(blocks=10, channels=128),
         mcts=MCTSConfig(num_simulations=400, max_depth=64,
-                        prior_dtype="bfloat16", value_dtype="int16"),
+                        prior_dtype="bfloat16", value_dtype="int16",
+                        leaf_batch=8),
         replay=ReplayConfig(capacity=300_000, batch_size=1_024,
                             min_fill=8_192),
         train=TrainConfig(num_envs=512, selfplay_plies_per_iter=16),

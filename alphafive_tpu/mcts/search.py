@@ -111,16 +111,31 @@ def _tree_init(env_cfg: EnvConfig, num_envs: int, num_nodes: int,
 
 def _puct_scores(n_row, w_row, p_row, legal, c_puct):
     """PUCT over one node's actions. Same op order as the NumPy oracle."""
-    nf = n_row.astype(jnp.float32)
+    return _puct_scores_n(n_row.astype(jnp.float32), w_row, p_row, legal,
+                          c_puct)
+
+
+def _puct_scores_n(nf, w_row, p_row, legal, c_puct):
+    """PUCT with float visit counts (virtual visits already folded in)."""
     q = jnp.where(nf > 0, w_row / jnp.maximum(nf, 1.0), 0.0)
     ns = 1.0 + jnp.sum(nf, axis=-1, keepdims=True)
     u = c_puct * p_row.astype(jnp.float32) * jnp.sqrt(ns) / (1.0 + nf)
     return jnp.where(legal, q + u, -jnp.inf)
 
 
-def _select_one(tree_n, tree_w, tree_p, tree_child, tree_done,
+def _select_one(tree_n, tree_w, tree_p, tree_child, tree_done, vroot,
                 c_puct, depth_limit, w_inv_scale=1.0, forced_k=0.0):
     """Single-env PUCT descent (vmapped over envs by the caller).
+
+    `vroot[A]` holds the pass's virtual root visits (leaf-parallel search):
+    edges already claimed by earlier lanes of the same pass count as
+    visited AT THE ROOT, steering later lanes toward different subtrees.
+    Root-only is a deliberate trade: scattering virtual visits into the
+    full [NN, A] visit array costs a full-array copy + relayout per
+    descent (the round-1 measured bottleneck, ~40% of pass time), while
+    the [A] root row is a register-cheap carry. Lanes that still converge
+    below the root merely revisit the same leaf (handled by the duplicate
+    dedup at expansion — a small budget overlap, not an error).
 
     Legality comes from the prior's sign (illegal cells store -1 — see
     run_mcts), so the cached boards never enter this loop.
@@ -156,10 +171,11 @@ def _select_one(tree_n, tree_w, tree_p, tree_child, tree_done,
         legal = p_signed >= 0
         w_row = tree_w[cur].astype(jnp.float32) * w_inv_scale
         p_row = jnp.maximum(p_signed, 0.0)
-        score = _puct_scores(tree_n[cur], w_row, p_row, legal, c_puct)
+        nf = tree_n[cur].astype(jnp.float32)
+        nf = jnp.where(cur == 0, nf + vroot, nf)  # virtual visits (pass)
+        score = _puct_scores_n(nf, w_row, p_row, legal, c_puct)
         # forced playouts (KataGo §3.4, config.forced_playouts_k): at the
         # root, a visited child still owed forced visits outranks everything
-        nf = tree_n[cur].astype(jnp.float32)
         forced = (legal & (depth == 0) & (nf > 0)
                   & (nf * nf < forced_k * p_row * jnp.sum(nf)))
         score = jnp.where(forced, jnp.inf, score)
@@ -195,6 +211,19 @@ def _gather_env(tree: Tree, idx: jnp.ndarray) -> EnvState:
     )
 
 
+def _gather_env_lanes(tree: Tree, idx: jnp.ndarray) -> EnvState:
+    """EnvStates of nodes idx[E, L] in each env's tree (leading [E, L])."""
+    e = jnp.arange(idx.shape[0])[:, None]
+    return EnvState(
+        board=tree.node_board[e, idx],
+        to_play=tree.node_to_play[e, idx],
+        last_move=tree.node_last[e, idx],
+        move_count=tree.node_count[e, idx],
+        done=tree.node_done[e, idx],
+        winner=tree.node_winner[e, idx],
+    )
+
+
 def run_mcts(
     env_cfg: EnvConfig,
     mcts_cfg: MCTSConfig,
@@ -210,6 +239,9 @@ def run_mcts(
     callers reset or mask them).
     """
     if mcts_cfg.select_impl == "pallas":
+        assert mcts_cfg.leaf_batch <= 1, (
+            "select_impl='pallas' implements sequential descent only; "
+            "leaf_batch>1 requires the default 'xla' path")
         from alphafive_tpu.mcts.search_packed import run_mcts_packed
         # the Mosaic kernel only compiles on real TPUs; every other backend
         # (cpu, gpu, ...) runs it in interpret mode (ADVICE.md round-1)
@@ -264,80 +296,142 @@ def run_mcts(
 
     earange = jnp.arange(e)
     select_v = jax.vmap(_select_one,
-                        in_axes=(0, 0, 0, 0, 0, None, None, None, None))
+                        in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None))
 
-    def sim_body(s, carry):
+    # Leaf-parallel search: `lb` descents share one pass — their visit
+    # increments are scattered onto the path edges at SELECT time ("virtual
+    # visits", so lanes diverge near the frontier), the value lands at
+    # backup. With lb=1 this is bit-identical to fully sequential MCTS
+    # (visit placement moves earlier but nothing reads between), which the
+    # oracle-parity tests pin. With lb>1 it amortizes the per-simulation
+    # net-forward launch AND the w/p/child relayout traffic ~lb-fold — the
+    # round-1 measured bottleneck (docs/PERFORMANCE.md).
+    lb = max(1, int(mcts_cfg.leaf_batch))
+    while sims % lb:
+        lb -= 1  # runtime budgets (e.g. PCR small searches) round down to
+        #          the largest divisor of sims; presets pick divisible pairs
+    passes = sims // lb
+    d = depth_limit
+
+    def pass_body(p, carry):
         tree, key = carry
         key, keval = jax.random.split(key)
 
-        leaf_parent, sel_act, depth, pn, pa = select_v(
-            tree.n, tree.w, tree.p, tree.child, tree.node_done,
-            c_puct, depth_limit, 1.0 / w_scale, forced_k)
+        # --- select lb leaves; root-edge virtual visits between descents ---
+        # (the [E, A] vroot carry is the ONLY array mutated between lanes —
+        # the big tree arrays stay untouched for the whole select phase, so
+        # their scatter→gather relayout happens once per pass, not once per
+        # simulation: the round-1 measured bottleneck)
+        def one_descent(j, c):
+            vroot, lps, acts, deps, pns, pas = c
+            lp, act, depth, pn, pa = select_v(
+                tree.n, tree.w, tree.p, tree.child, tree.node_done, vroot,
+                c_puct, d, 1.0 / w_scale, forced_k)
+            root_edge = pa[:, 0]   # first traversed edge (valid if depth>0)
+            vroot = vroot.at[earange, root_edge].add(
+                (depth > 0).astype(jnp.float32))
+            return (vroot,
+                    lps.at[:, j].set(lp), acts.at[:, j].set(act),
+                    deps.at[:, j].set(depth),
+                    pns.at[:, j].set(pn), pas.at[:, j].set(pa))
+
+        init = (jnp.zeros((e, a), jnp.float32),
+                jnp.zeros((e, lb), jnp.int32), jnp.zeros((e, lb), jnp.int32),
+                jnp.zeros((e, lb), jnp.int32),
+                jnp.zeros((e, lb, d), jnp.int32),
+                jnp.zeros((e, lb, d), jnp.int32))
+        _, lps, acts, deps, pns, pas = jax.lax.fori_loop(
+            0, lb, one_descent, init)
 
         # revisit lanes (action = -1): terminal node OR live node at the
         # depth cap — no expansion, back up the leaf's own value
-        is_revisit = sel_act < 0
-        safe_act = jnp.maximum(sel_act, 0)
+        is_revisit = acts < 0                      # [E, lb]
+        safe_act = jnp.maximum(acts, 0)
 
-        parent_state = _gather_env(tree, leaf_parent)
-        stepped = vector.step(env_cfg, parent_state, safe_act)
+        parent_state = _gather_env_lanes(tree, lps)          # [E, lb, ...]
+        flat = lambda x: x.reshape((e * lb,) + x.shape[2:])
+        unflat = lambda x: x.reshape((e, lb) + x.shape[1:])
+        stepped_f = vector.step(env_cfg, jax.tree.map(flat, parent_state),
+                                flat(safe_act))
+        stepped = jax.tree.map(unflat, stepped_f)
         # leaf state: the stepped child for expanding lanes, the selected
         # node itself for revisit lanes (step would place a bogus stone on a
         # live depth-capped node)
-        mask = is_revisit
 
-        def sel(a, b):  # where(mask, a, b) broadcasting over trailing dims
-            m = mask.reshape(mask.shape + (1,) * (a.ndim - 1))
-            return jnp.where(m, a, b)
+        def sel(a_, b_):
+            m = is_revisit.reshape(is_revisit.shape
+                                   + (1,) * (a_.ndim - 2))
+            return jnp.where(m, a_, b_)
 
         leaf_state = jax.tree.map(sel, parent_state, stepped)
 
-        new = jnp.int32(s + 1)
+        base = 1 + p * lb                          # first node id this pass
+        new_ids = base + jnp.arange(lb, dtype=jnp.int32)      # [lb]
 
-        # write the new node (harmless orphan write for revisit lanes)
+        # duplicate expansions (two lanes stopping at the SAME unexpanded
+        # edge): all duplicates resolve to the FIRST lane's node id, so the
+        # child-link scatter writes one value per edge. The later lanes'
+        # node slots become identical-content orphans (their backed-up
+        # values are evaluations of the same position — consistent).
+        edge_key = lps * a + safe_act                          # [E, lb]
+        expanding = ~is_revisit
+        same = ((edge_key[:, :, None] == edge_key[:, None, :])
+                & expanding[:, :, None] & expanding[:, None, :])  # [E,lb,lb]
+        jj = jnp.arange(lb, dtype=jnp.int32)
+        first_lane = jnp.where(same, jj[None, None, :], lb).min(-1)  # [E,lb]
+        link_id = base + first_lane                            # [E, lb]
+        is_first = expanding & (first_lane == jj[None, :])
+        # child starts at -1 and no selected edge has an existing child
+        # (descents stop at missing children), so `add(link_id + 1)` writes
+        # the link with a COMMUTATIVE scatter: lane collisions are only
+        # ever 0-adds from revisit/duplicate lanes — no write races.
+        link_add = jnp.where(is_first, link_id + 1, 0).astype(jnp.int16)
+
+        upd = lambda arr, u: jax.lax.dynamic_update_slice_in_dim(
+            arr, u, base, axis=1)
         tree = tree.replace(
-            node_board=tree.node_board.at[:, new].set(stepped.board),
-            node_to_play=tree.node_to_play.at[:, new].set(stepped.to_play),
-            node_last=tree.node_last.at[:, new].set(stepped.last_move),
-            node_count=tree.node_count.at[:, new].set(stepped.move_count),
-            node_done=tree.node_done.at[:, new].set(stepped.done),
-            node_winner=tree.node_winner.at[:, new].set(stepped.winner),
-            # link parent -> child only for expanding lanes
-            child=tree.child.at[earange, leaf_parent, safe_act].set(
-                jnp.where(is_revisit,
-                          tree.child[earange, leaf_parent, safe_act],
-                          new.astype(jnp.int16))),
+            node_board=upd(tree.node_board, stepped.board),
+            node_to_play=upd(tree.node_to_play, stepped.to_play),
+            node_last=upd(tree.node_last, stepped.last_move),
+            node_count=upd(tree.node_count, stepped.move_count),
+            node_done=upd(tree.node_done, stepped.done),
+            node_winner=upd(tree.node_winner, stepped.winner),
+            child=tree.child.at[earange[:, None], lps, safe_act].add(
+                link_add),
         )
 
-        # one batched evaluation per simulation (E leaves at once)
-        logits, v = evaluate(leaf_state.board, leaf_state.to_play,
-                             leaf_state.last_move, keval)
+        # ONE batched evaluation per pass: all E·lb leaves in one forward
+        logits_f, v_f = evaluate(flat(leaf_state.board),
+                                 flat(leaf_state.to_play),
+                                 flat(leaf_state.last_move), keval)
+        logits, v = unflat(logits_f), unflat(v_f)
         leaf_value = jnp.where(
             leaf_state.done,
             (leaf_state.winner * leaf_state.to_play).astype(jnp.float32),
-            v.astype(jnp.float32))
+            v.astype(jnp.float32))                             # [E, lb]
         child_legal = stepped.board == 0
         child_p = masked_softmax(logits, child_legal)
-        tree = tree.replace(p=tree.p.at[:, new].set(
+        tree = tree.replace(p=upd(
+            tree.p,
             jnp.where(child_legal, child_p, -1.0).astype(prior_dtype)))
 
-        # batched backup: edge j on the path (0-based from root, depth L)
-        # accumulates leaf_value * (-1)^(L - j); pad slots add 0 at (0, 0)
-        dn = jnp.arange(depth_limit)[None, :]                  # [1, D]
-        on_path = dn < depth[:, None]                          # [E, D]
-        exp_ = (depth[:, None] - dn).astype(jnp.int32)
+        # batched backup of all lb paths: edge j on a path (0-based from
+        # root, depth L) accumulates leaf_value * (-1)^(L - j) and one
+        # visit; pad slots add 0 at (0, 0)
+        dn = jnp.arange(d)[None, None, :]                      # [1, 1, D]
+        on_path = dn < deps[:, :, None]                        # [E, lb, D]
+        exp_ = (deps[:, :, None] - dn).astype(jnp.int32)
         sign = jnp.where(exp_ % 2 == 0, 1.0, -1.0)
-        vals = jnp.where(on_path, sign * leaf_value[:, None], 0.0)
+        vals = jnp.where(on_path, sign * leaf_value[:, :, None], 0.0)
         if fixed_w:
             vals = jnp.round(vals * w_scale).astype(jnp.int16)
-        incr = on_path.astype(jnp.uint16)
+        eidx = earange[:, None, None]
         tree = tree.replace(
-            n=tree.n.at[earange[:, None], pn, pa].add(incr),
-            w=tree.w.at[earange[:, None], pn, pa].add(vals),
-        )
+            n=tree.n.at[eidx, pns, pas].add(on_path.astype(jnp.uint16)),
+            w=tree.w.at[eidx, pns, pas].add(vals))
         return tree, key
 
-    tree, _ = jax.lax.fori_loop(0, sims, sim_body, (tree, key))
+    tree, _ = jax.lax.fori_loop(0, passes, pass_body, (tree, key))
 
     visits = tree.n[:, 0, :].astype(jnp.float32)
     n_sum = visits.sum(-1)

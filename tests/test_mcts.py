@@ -151,6 +151,49 @@ def test_sample_actions_respects_support():
     assert (np.asarray(acts) == 2).all()
 
 
+@pytest.mark.parametrize("lb", [2, 4, 8])
+def test_leaf_batch_budget_and_sanity(lb):
+    """Leaf-parallel search spends exactly the simulation budget, visits
+    only legal moves, and still finds a forced win (VERDICT round-1 #1).
+
+    leaf_batch=1 equals sequential search by construction (the virtual
+    visit is the real visit placed early); test_visit_count_parity pins
+    that against the recursive oracle. Here we pin the lb>1 semantics."""
+    env_cfg = EnvConfig(board_size=5, n_in_row=4)
+    mcts_cfg = MCTSConfig(num_simulations=96, leaf_batch=lb)
+    g = ScalarGomoku(5, 4)
+    for m in [6, 0, 7, 1, 8, 2]:  # black 6,7,8; white 0,1,2; black to move
+        g.step(m)
+    live = random_midgame(5, 4, 4, seed=9)
+    state = to_env_state([g, live])
+    run = jax.jit(functools.partial(
+        search.run_mcts, env_cfg, mcts_cfg, uniform_evaluator(env_cfg),
+        add_noise=False))
+    res = run(state, jax.random.key(3))
+    v = np.asarray(res.visits)
+    # budget: every simulation lands one root visit (roots are not terminal)
+    np.testing.assert_array_equal(v.sum(-1), [96, 96])
+    # legality: no visits on occupied cells
+    occ = np.asarray(state.board) != 0
+    assert (v[occ] == 0).all()
+    # tactics: the win-in-one (5 or 9) dominates in env 0
+    assert int(np.argmax(v[0])) in {5, 9}, v[0].reshape(5, 5)
+    assert float(res.root_value[0]) >= 0.4
+
+
+def test_leaf_batch_rounds_to_divisor():
+    """A runtime budget not divisible by leaf_batch (e.g. PCR small
+    searches) rounds the batch down to a divisor instead of crashing."""
+    env_cfg = EnvConfig(board_size=5, n_in_row=4)
+    mcts_cfg = MCTSConfig(num_simulations=96, leaf_batch=8)
+    state = to_env_state([random_midgame(5, 4, 2, seed=5)])
+    run = jax.jit(functools.partial(
+        search.run_mcts, env_cfg, mcts_cfg, uniform_evaluator(env_cfg),
+        num_simulations=50, add_noise=False))  # 50 % 8 != 0 -> lb=5
+    res = run(state, jax.random.key(4))
+    assert float(np.asarray(res.visits).sum()) == 50
+
+
 def test_int16_value_sums_close_to_f32():
     """value_dtype="int16" (1/64 fixed-point W) must track the exact search
     closely — NONZERO leaf values, so the scaling paths are exercised (a
