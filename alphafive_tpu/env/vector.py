@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from alphafive_tpu.config import EnvConfig, FREESTYLE, RENJU_LITE
+from alphafive_tpu.config import EnvConfig, FREESTYLE, RENJU, RENJU_LITE
 
 WINDOW = 11  # offsets -5..5 through the placed stone
 HALF = WINDOW // 2
@@ -83,19 +83,19 @@ def init(cfg: EnvConfig, num_envs: int) -> EnvState:
     )
 
 
-def runs_through(cfg: EnvConfig, board: jnp.ndarray, action: jnp.ndarray,
-                 player: jnp.ndarray) -> jnp.ndarray:
-    """int32[E, 4]: longest run of `player` through `action`, per direction.
-
-    `board` must already contain the placed stone. Exact for runs <= 6 (and
-    lower-bounded by 6 beyond), which is all the rules need.
-    """
+def _line_cells(cfg: EnvConfig, board: jnp.ndarray, action: jnp.ndarray):
+    """(cells int8[E,4,W], ok bool[E,4,W]) for the 4 lines through action."""
     idx_np, ok_np = line_tables(cfg.board_size)
     idx = jnp.asarray(idx_np)[action]            # [E, 4, W]
     ok = jnp.asarray(ok_np)[action]              # [E, 4, W]
     cells = jnp.take_along_axis(
         board[:, None, :], idx.reshape(idx.shape[0], 1, -1), axis=2
     ).reshape(idx.shape)                          # int8[E, 4, W]
+    return cells, ok
+
+
+def _runs_from_cells(cells: jnp.ndarray, ok: jnp.ndarray,
+                     player: jnp.ndarray) -> jnp.ndarray:
     own = (cells == player[:, None, None].astype(jnp.int8)) & ok
     # consecutive own-stones right of center: cumprod over offsets +1..+5
     right = jnp.cumprod(own[..., HALF + 1:].astype(jnp.int32), axis=-1)
@@ -104,18 +104,67 @@ def runs_through(cfg: EnvConfig, board: jnp.ndarray, action: jnp.ndarray,
     return 1 + right.sum(-1) + left.sum(-1)
 
 
-def _outcome(cfg: EnvConfig, runs: jnp.ndarray, player: jnp.ndarray):
-    """(win, forbidden) bool[E] — mirrors scalar._classify exactly."""
+def runs_through(cfg: EnvConfig, board: jnp.ndarray, action: jnp.ndarray,
+                 player: jnp.ndarray) -> jnp.ndarray:
+    """int32[E, 4]: longest run of `player` through `action`, per direction.
+
+    `board` must already contain the placed stone. Exact for runs <= 6 (and
+    lower-bounded by 6 beyond), which is all the rules need.
+    """
+    cells, ok = _line_cells(cfg, board, action)
+    return _runs_from_cells(cells, ok, player)
+
+
+def _renju_doubles(cells: jnp.ndarray, ok: jnp.ndarray) -> jnp.ndarray:
+    """bool[E]: the just-placed BLACK stone (window center) made a
+    double-four or double-three — vectorized mirror of
+    scalar._renju_line_counts (the oracle); definitions documented there.
+    Static Python loops over the <=5 window offsets unroll under jit.
+    """
+    blk = (cells == 1) & ok
+    emp = (cells == 0) & ok
+
+    # fours: 5-windows s..s+4 (s in 1..5 keeps the center inside)
+    cand4 = jnp.stack([
+        ((blk[..., s:s + 5].sum(-1) == 4) & (emp[..., s:s + 5].sum(-1) == 1)
+         & ~blk[..., s - 1] & ~blk[..., s + 5])   # completion is exact 5
+        for s in range(1, 6)], axis=-1)           # bool[E, 4, 5]
+    fours = cand4.sum(-1)
+    for s in range(1, 5):  # straight four = same stones in s and s+1
+        fours -= (cand4[..., s - 1] & cand4[..., s]
+                  & blk[..., s + 1:s + 5].all(-1))
+
+    # open threes: 4-windows t..t+3 (t in 2..5 keeps the center inside)
+    cand3 = jnp.stack([
+        ((blk[..., t:t + 4].sum(-1) == 3) & (emp[..., t:t + 4].sum(-1) == 1)
+         & emp[..., t - 1] & emp[..., t + 4]      # straight-four ends open
+         & ~blk[..., t - 2] & ~blk[..., t + 5])   # both fives exact
+        for t in range(2, 6)], axis=-1)           # bool[E, 4, 4]
+    threes = cand3.sum(-1)
+    for t in range(2, 5):  # consecutive three = same stones in t and t+1
+        threes -= (cand3[..., t - 2] & cand3[..., t - 1]
+                   & blk[..., t + 1:t + 4].all(-1))
+
+    return (fours.sum(-1) >= 2) | (threes.sum(-1) >= 2)
+
+
+def _outcome(cfg: EnvConfig, runs: jnp.ndarray, player: jnp.ndarray,
+             cells: jnp.ndarray, ok: jnp.ndarray):
+    """(win, forbidden) bool[E] — mirrors the scalar oracle exactly."""
     n = cfg.n_in_row
     if cfg.rules == FREESTYLE:
         return (runs >= n).any(-1), jnp.zeros(runs.shape[:-1], dtype=bool)
-    assert cfg.rules == RENJU_LITE
     white = player.astype(jnp.int32) < 0
     any_ge = (runs >= n).any(-1)
     exact = (runs == n).any(-1)
     over = (runs > n).any(-1)
     win = jnp.where(white, any_ge, exact)
-    forbidden = (~white) & over & ~exact
+    if cfg.rules == RENJU_LITE:
+        forbidden = (~white) & over & ~exact
+        return win, forbidden
+    assert cfg.rules == RENJU
+    doubles = _renju_doubles(cells, ok)
+    forbidden = (~white) & ~exact & (over | doubles)
     return win, forbidden
 
 
@@ -128,8 +177,9 @@ def step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray) -> EnvState:
     e = state.board.shape[0]
     player = state.to_play
     board = state.board.at[jnp.arange(e), action].set(player)
-    runs = runs_through(cfg, board, action, player)
-    win, forbidden = _outcome(cfg, runs, player)
+    cells, ok = _line_cells(cfg, board, action)
+    runs = _runs_from_cells(cells, ok, player)
+    win, forbidden = _outcome(cfg, runs, player, cells, ok)
     count = state.move_count + 1
     full = count >= cfg.num_actions
     done = win | forbidden | full
