@@ -156,25 +156,50 @@ def make_train_iteration(cfg: RunConfig, mesh: Mesh,
             old_logits, _ = apply_eval(model, ts.params, ts.batch_stats,
                                        probe[0])
             old_logp = jax.nn.log_softmax(old_logits, axis=-1)
+            p_old = jnp.exp(old_logp)
+
+            def probe_kl(ts):
+                logits, _ = apply_eval(model, ts.params, ts.batch_stats,
+                                       probe[0])
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                return jax.lax.pmean(
+                    jnp.mean(jnp.sum(p_old * (old_logp - logp), axis=-1)),
+                    DATA_AXIS)
+
+            # KL early-stop (SURVEY.md §3.1, cfg.train.kl_stop_factor):
+            # once the probe KL vs the phase-start policy exceeds
+            # factor·kl_target, the remaining steps of the phase become
+            # no-ops (the step that tripped the guard is kept — matching
+            # the reference's break-after-epoch semantics)
+            stop_thresh = cfg.train.kl_stop_factor * cfg.train.kl_target
 
             def one(carry, k):
-                ts = carry
+                ts, stopped = carry
                 batch = replay_buffer.sample(cfg.env, buf, k, local_bs)
-                ts, aux = learner.train_step(cfg.env, cfg.net, cfg.train,
-                                             ts, batch, axis_name=DATA_AXIS)
-                return ts, aux
+                new_ts, aux = learner.train_step(
+                    cfg.env, cfg.net, cfg.train, ts, batch,
+                    axis_name=DATA_AXIS)
+                if cfg.train.kl_stop_factor > 0:
+                    tripped = probe_kl(new_ts) > stop_thresh
+                else:
+                    tripped = jnp.array(False)
+                keep = lambda old, new: jax.tree.map(
+                    lambda o, n_: jnp.where(stopped, o, n_), old, new)
+                ts = keep(ts, new_ts)
+                executed = (~stopped).astype(jnp.float32)
+                aux = jax.tree.map(lambda x: x * executed, aux)
+                aux["executed_steps"] = executed
+                return (ts, stopped | tripped), aux
             ks = jax.random.split(kscan, cfg.train.learner_steps_per_iter)
-            ts, auxs = jax.lax.scan(one, ts, ks)
+            (ts, _), auxs = jax.lax.scan(one, (ts, jnp.array(False)), ks)
 
-            new_logits, _ = apply_eval(model, ts.params, ts.batch_stats,
-                                       probe[0])
-            new_logp = jax.nn.log_softmax(new_logits, axis=-1)
-            p_old = jnp.exp(old_logp)
-            kl = jax.lax.pmean(
-                jnp.mean(jnp.sum(p_old * (old_logp - new_logp), axis=-1)),
-                DATA_AXIS)
+            # aux means over EXECUTED steps only (masked steps added zeros)
+            n_exec = jnp.maximum(auxs["executed_steps"].sum(), 1.0)
+            aux = jax.tree.map(lambda x: x.sum() / n_exec, auxs)
+            aux["executed_steps"] = n_exec
+
+            kl = probe_kl(ts)
             ts = learner.adapt_lr_scale(ts, kl, cfg.train.kl_target)
-            aux = jax.tree.map(lambda x: x.mean(), auxs)
             aux["kl_update"] = kl
             return ts, aux
 
@@ -182,7 +207,7 @@ def make_train_iteration(cfg: RunConfig, mesh: Mesh,
             zero_aux = {k: jnp.zeros(()) for k in
                         ("loss", "policy_loss", "value_loss", "l2_loss",
                          "kl_pi_p", "value_mae", "entropy_pi", "grad_norm",
-                         "lr_scale", "kl_update")}
+                         "lr_scale", "kl_update", "executed_steps")}
             return ts, zero_aux
 
         ts, aux = jax.lax.cond(do_update, learner_scan, no_update, ts, None)

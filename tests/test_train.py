@@ -25,8 +25,12 @@ def tiny():
 
 
 def test_selfplay_chunk_backfill(tiny):
-    """Every finished game's positions get z from its own winner; trailing
-    unfinished positions are invalid; z alternates sign with the mover."""
+    """Per-segment z correctness, asserted directly from the recordings:
+    game boundaries are reconstructed from move_count resets; every ply of
+    a finished segment must be z_valid with z·to_play equal to the single
+    game winner, the winner must be the final mover (freestyle rules — the
+    mover can never lose on their own move), and draws only on full boards.
+    Trailing unfinished segments must be entirely invalid."""
     cfg = tiny
     e = 4
     t = 25  # 5x5 board fills in <= 25 plies -> every env finishes >= 1 game
@@ -45,26 +49,40 @@ def test_selfplay_chunk_backfill(tiny):
     to_play = np.asarray(traj.to_play).reshape(t, e)
     pi = np.asarray(traj.pi).reshape(t, e, -1)
     board = np.asarray(traj.board).reshape(t, e, -1)
+    move_count = (board != 0).sum(-1)  # stones on the RECORDED position
 
     # π is a distribution over empty cells of the recorded position
-    sums = pi.sum(-1)
-    np.testing.assert_allclose(sums, 1.0, atol=1e-5)
+    np.testing.assert_allclose(pi.sum(-1), 1.0, atol=1e-5)
     assert (pi[board != 0] == 0).all()
 
-    # reconstruct game segments per env on the host and check z
+    full = cfg.env.num_actions
+    checked_segments = 0
     for i in range(e):
-        # find the plies where a game ended: z flips meaning across resets
-        # mover-perspective outcomes must alternate within a game segment
-        seg_start = 0
-        for tt in range(t):
-            if valid[tt, i]:
-                # within one game, z * to_play is constant (= winner)
-                w = z[tt, i] * to_play[tt, i]
-                assert w in (-1, 0, 1)
-        # trailing unfinished-game positions must be invalid
-        # (the last ply of the chunk either ended a game or didn't)
-    # at least some invalid tail positions exist only if a game was cut off
-    assert valid.any()
+        # segment starts: recorded position has 0 stones (fresh game)
+        starts = [tt for tt in range(t) if move_count[tt, i] == 0]
+        assert starts and starts[0] == 0
+        bounds = starts + [t]
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            seg = slice(s0, s1)
+            if s1 < t:
+                # finished segment (a reset follows): all plies valid,
+                # one consistent winner across the whole segment
+                assert valid[seg, i].all(), (i, s0, s1)
+                w = z[seg, i] * to_play[seg, i]
+                assert (w == w[0]).all(), (i, s0, s1, w)
+                t_end = s1 - 1
+                # freestyle: the mover can't lose on their own move
+                assert z[t_end, i] in (0, 1), (i, t_end)
+                # draw only when the final move filled the board
+                if z[t_end, i] == 0:
+                    assert move_count[t_end, i] == full - 1, (i, t_end)
+                checked_segments += 1
+            else:
+                # trailing segment: finished IFF the very last ply ended
+                # the game; its validity must be uniform either way
+                v = valid[seg, i]
+                assert v.all() or (~v).all(), (i, s0, v)
+    assert checked_segments >= e  # the loop actually exercised segments
 
 
 def test_selfplay_z_consistency_within_game(tiny):
@@ -141,6 +159,84 @@ def test_train_iteration_8device_mesh(tiny):
     shards = [np.asarray(s.data) for s in p0.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+
+def test_kl_early_stop_masks_steps(tiny):
+    """kl_stop_factor > 0 aborts the update phase once the probe KL vs the
+    phase-start policy exceeds factor·kl_target (SURVEY.md §3.1 reference
+    guard-rail): with a huge lr and a tiny threshold only the tripping step
+    executes; with the guard effectively off all steps run."""
+    def run(kl_stop_factor):
+        cfg = dataclasses.replace(
+            tiny,
+            train=dataclasses.replace(
+                tiny.train, learner_steps_per_iter=4, learning_rate=1.0,
+                lr_warmup_steps=1, kl_target=0.02,
+                kl_stop_factor=kl_stop_factor),
+            replay=dataclasses.replace(tiny.replay, min_fill=32,
+                                       batch_size=32),
+            mesh=dataclasses.replace(tiny.mesh, data=1),
+        )
+        mesh = parallel.make_mesh(1)
+        carry = parallel.init_carry(cfg, jax.random.key(0), mesh)
+        it = parallel.make_train_iteration(cfg, mesh, donate=False)
+        carry, m = it(carry, jax.random.key(1))
+        assert float(m["updated"]) == 1.0
+        return carry, m
+
+    carry_stop, m_stop = run(kl_stop_factor=0.25)   # threshold 0.005
+    carry_all, m_all = run(kl_stop_factor=1e9)      # never trips
+    assert float(m_all["executed_steps"]) == 4.0
+    assert float(m_stop["executed_steps"]) < 4.0
+    assert float(m_stop["kl_update"]) > 0.005  # the guard really tripped
+    # fewer optimizer steps were applied
+    assert int(carry_stop.train_state.step) < int(carry_all.train_state.step)
+
+
+def test_smoke_9x9_preset_end_to_end(tmp_path):
+    """BASELINE.json:7 config 1 — the NAMED smoke_9x9 preset (9×9, 1 env,
+    100-sim MCTS, 4-block 64-ch net, fixed seed) runs end-to-end on CPU:
+    games finish, the learner engages once min_fill is reached, loss is
+    finite, and a kill-and-resume reproduces the uninterrupted run
+    bit-exactly (VERDICT round-1 weak #8)."""
+    from alphafive_tpu.config import get_preset, ReplayConfig
+    from alphafive_tpu.train.loop import train
+    from alphafive_tpu.utils.logging import MetricsLogger
+
+    cfg = get_preset("smoke_9x9")
+    # The defining knobs of BASELINE cfg 1 stay untouched (9x9 board,
+    # 1 env, 100-sim MCTS, 4-block 64-ch f32 net, fixed seed). Ancillary
+    # cadence/replay thresholds shrink so the learner engages in iter 0
+    # and the test stays ~1 min on the 1-core CI box (each smoke
+    # iteration = 8100 batch-1 net forwards).
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(cfg.train, eval_every_iters=0,
+                                  checkpoint_every_iters=1),
+        replay=ReplayConfig(capacity=20_000, batch_size=64, min_fill=64))
+    quiet = MetricsLogger(None, quiet=True)
+
+    wd_a = str(tmp_path / "a")
+    logs = []
+    rec = MetricsLogger(None, quiet=True)
+    rec.log = lambda d, _orig=rec.log: (logs.append(d), _orig(d))[1]
+    carry_a, _ = train(cfg, workdir=wd_a, total_iters=2, logger=rec)
+    iters = [d for d in logs if d.get("kind") == "iter"]
+    assert len(iters) == 2
+    assert sum(d["games_finished"] for d in iters) >= 1
+    assert iters[-1]["updated"] == 1.0
+    assert np.isfinite(iters[-1]["loss"])
+
+    # crash after 1 iter, resume to 2: bit-identical to uninterrupted
+    wd_b = str(tmp_path / "b")
+    train(cfg, workdir=wd_b, total_iters=1, logger=quiet)
+    carry_b, _ = train(cfg, workdir=wd_b, total_iters=2, resume=True,
+                       logger=quiet)
+    for a, b in zip(jax.tree.leaves(carry_a.train_state.params),
+                    jax.tree.leaves(carry_b.train_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(carry_a.env_state.board),
+                                  np.asarray(carry_b.env_state.board))
 
 
 def test_checkpoint_roundtrip(tiny, tmp_path):
