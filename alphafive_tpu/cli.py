@@ -209,6 +209,7 @@ def _cmd_eval(cfg, args):
     from alphafive_tpu.utils.elo import performance_elo
     import json as _json
 
+    from alphafive_tpu.config import MCTSConfig
     params, batch_stats, net_cfg = _load_model(cfg, args.workdir)
     result = evaluate_vs(
         cfg.env, cfg.mcts,
@@ -217,7 +218,9 @@ def _cmd_eval(cfg, args):
         cfg.train.eval_simulations or cfg.mcts.num_simulations,
         args.anchor_rollouts,
         args.games or cfg.train.eval_games,
-        jax.random.key(cfg.train.seed + 1))
+        jax.random.key(cfg.train.seed + 1),
+        # canonical exact anchor (preset-independent Elo scale)
+        mcts_a=cfg.mcts, mcts_b=MCTSConfig())
     result["anchor_rollouts"] = args.anchor_rollouts
     result["elo_vs_anchor"] = performance_elo(result["score"], 0.0)
     print(_json.dumps(result))

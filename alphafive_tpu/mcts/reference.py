@@ -58,25 +58,21 @@ class _Node:
         self.child = {}  # action -> _Node
 
 
-def run_mcts_reference(
-    game: ScalarGomoku,
-    evaluate: Evaluator,
-    num_simulations: int,
-    c_puct: float,
-    root_noise: Optional[np.ndarray] = None,
-    dirichlet_eps: float = 0.25,
-) -> Tuple[np.ndarray, float]:
-    """Returns (visit counts N(root,·) f32[A], root value estimate)."""
-    assert not game.done, "cannot search a terminal position"
-    c_puct = np.float32(c_puct)
-
+def make_root(game: ScalarGomoku, evaluate: Evaluator,
+              root_noise: Optional[np.ndarray] = None,
+              dirichlet_eps: float = 0.25) -> "_Node":
     logits, _ = evaluate(game.board.reshape(-1), game.to_play, game.last_move)
     p = masked_softmax_np(np.asarray(logits), game.legal_mask())
     if root_noise is not None:
         eps = np.float32(dirichlet_eps)
         p = (np.float32(1) - eps) * p + eps * root_noise.astype(np.float32)
-    root = _Node(game.copy(), p)
+    return _Node(game.copy(), p)
 
+
+def simulate(root: "_Node", evaluate: Evaluator, num_simulations: int,
+             c_puct: float) -> None:
+    """Run `num_simulations` PUCT playouts in place on `root`."""
+    c_puct = np.float32(c_puct)
     for _ in range(num_simulations):
         node = root
         path = []  # [(node, action)]
@@ -119,6 +115,51 @@ def run_mcts_reference(
             parent.n[a] += np.float32(1)
             parent.w[a] += v
 
+
+def run_mcts_reference(
+    game: ScalarGomoku,
+    evaluate: Evaluator,
+    num_simulations: int,
+    c_puct: float,
+    root_noise: Optional[np.ndarray] = None,
+    dirichlet_eps: float = 0.25,
+) -> Tuple[np.ndarray, float]:
+    """Fresh-tree search. Returns (N(root,·) f32[A], root value estimate)."""
+    assert not game.done, "cannot search a terminal position"
+    root = make_root(game, evaluate, root_noise, dirichlet_eps)
+    simulate(root, evaluate, num_simulations, c_puct)
     n_sum = np.sum(root.n, dtype=np.float32)
     root_value = (np.sum(root.w, dtype=np.float32) / n_sum) if n_sum > 0 else 0.0
     return root.n.copy(), float(root_value)
+
+
+class ReuseMCTS:
+    """Scalar MCTS player WITH subtree reuse (`update_with_move`) — the
+    reference family's behavior (SURVEY.md §2 "MCTS player", §3.1): after
+    every move (own or opponent's) the played child becomes the new root,
+    keeping its accumulated statistics; each get-action call then runs the
+    same per-move simulation budget on top. Exists to settle the
+    fresh-vs-reuse question with data (benchmarks/ab_subtree_reuse.py,
+    round-1 VERDICT item 5) — the array search deliberately uses fresh
+    trees (docs/PERFORMANCE.md records the measured strength delta)."""
+
+    def __init__(self, evaluate: Evaluator, c_puct: float = 5.0):
+        self.evaluate = evaluate
+        self.c_puct = c_puct
+        self.root: Optional[_Node] = None
+
+    def search(self, game: ScalarGomoku, num_simulations: int) -> np.ndarray:
+        assert not game.done
+        if self.root is None:
+            self.root = make_root(game, self.evaluate)
+        assert np.array_equal(self.root.game.board, game.board), (
+            "tree out of sync: call update_with_move after every move")
+        simulate(self.root, self.evaluate, num_simulations, self.c_puct)
+        return self.root.n.copy()
+
+    def update_with_move(self, action: int) -> None:
+        """Re-root on `action` (played by either side)."""
+        if self.root is None:
+            return
+        child = self.root.child.get(action)
+        self.root = child  # None -> fresh root built lazily in search()

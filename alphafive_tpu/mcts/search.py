@@ -317,31 +317,45 @@ def run_mcts(
         tree, key = carry
         key, keval = jax.random.split(key)
 
-        # --- select lb leaves; root-edge virtual visits between descents ---
-        # (the [E, A] vroot carry is the ONLY array mutated between lanes —
+        # --- select lb leaves, virtual visits between descents ------------
+        # "root" mode mutates ONLY the [E, A] vroot carry between lanes —
         # the big tree arrays stay untouched for the whole select phase, so
-        # their scatter→gather relayout happens once per pass, not once per
-        # simulation: the round-1 measured bottleneck)
+        # their scatter→gather relayout happens once per pass (the round-1
+        # measured bottleneck). "path" mode additionally scatters +1 onto
+        # every traversed edge of the visit array (one [E,NN,A] relayout
+        # per descent — ~20% slower, but deep descents keep diverging:
+        # markedly stronger at equal budget, docs/PERFORMANCE.md).
+        path_virtual = mcts_cfg.virtual_mode == "path" and lb > 1
+
         def one_descent(j, c):
-            vroot, lps, acts, deps, pns, pas = c
+            n_cur, vroot, lps, acts, deps, pns, pas = c
             lp, act, depth, pn, pa = select_v(
-                tree.n, tree.w, tree.p, tree.child, tree.node_done, vroot,
+                n_cur, tree.w, tree.p, tree.child, tree.node_done, vroot,
                 c_puct, d, 1.0 / w_scale, forced_k)
-            root_edge = pa[:, 0]   # first traversed edge (valid if depth>0)
-            vroot = vroot.at[earange, root_edge].add(
-                (depth > 0).astype(jnp.float32))
-            return (vroot,
+            dn_ = jnp.arange(d)[None, :]
+            on_path_ = dn_ < depth[:, None]
+            if path_virtual:
+                n_cur = n_cur.at[earange[:, None], pn, pa].add(
+                    on_path_.astype(jnp.uint16))
+            else:
+                root_edge = pa[:, 0]   # first traversed edge (if depth>0)
+                vroot = vroot.at[earange, root_edge].add(
+                    (depth > 0).astype(jnp.float32))
+            return (n_cur, vroot,
                     lps.at[:, j].set(lp), acts.at[:, j].set(act),
                     deps.at[:, j].set(depth),
                     pns.at[:, j].set(pn), pas.at[:, j].set(pa))
 
-        init = (jnp.zeros((e, a), jnp.float32),
+        init = (tree.n, jnp.zeros((e, a), jnp.float32),
                 jnp.zeros((e, lb), jnp.int32), jnp.zeros((e, lb), jnp.int32),
                 jnp.zeros((e, lb), jnp.int32),
                 jnp.zeros((e, lb, d), jnp.int32),
                 jnp.zeros((e, lb, d), jnp.int32))
-        _, lps, acts, deps, pns, pas = jax.lax.fori_loop(
+        n_virt, _, lps, acts, deps, pns, pas = jax.lax.fori_loop(
             0, lb, one_descent, init)
+        if path_virtual:
+            # the virtual visits ARE the real visits (backup adds w only)
+            tree = tree.replace(n=n_virt)
 
         # revisit lanes (action = -1): terminal node OR live node at the
         # depth cap — no expansion, back up the leaf's own value
@@ -426,9 +440,13 @@ def run_mcts(
         if fixed_w:
             vals = jnp.round(vals * w_scale).astype(jnp.int16)
         eidx = earange[:, None, None]
-        tree = tree.replace(
-            n=tree.n.at[eidx, pns, pas].add(on_path.astype(jnp.uint16)),
-            w=tree.w.at[eidx, pns, pas].add(vals))
+        new_w = tree.w.at[eidx, pns, pas].add(vals)
+        if path_virtual:  # visits already placed at select time
+            tree = tree.replace(w=new_w)
+        else:
+            tree = tree.replace(
+                n=tree.n.at[eidx, pns, pas].add(on_path.astype(jnp.uint16)),
+                w=new_w)
         return tree, key
 
     tree, _ = jax.lax.fori_loop(0, passes, pass_body, (tree, key))

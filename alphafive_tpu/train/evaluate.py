@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Callable, Dict
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,13 +34,14 @@ from alphafive_tpu.env import vector
 from alphafive_tpu.mcts import search
 
 
-def _play_plies(env_cfg: EnvConfig, mcts_cfg: MCTSConfig,
+def _play_plies(env_cfg: EnvConfig, mcts_black: MCTSConfig,
+                mcts_white: MCTSConfig,
                 eval_black: Callable, eval_white: Callable,
                 sims_black: int, sims_white: int, plies_per_call: int,
                 state, key, ply0):
     """Advance all live games by plies_per_call plies (jitted by caller)."""
 
-    def do_search(evaluate, sims, st, k):
+    def do_search(mcts_cfg, evaluate, sims, st, k):
         return search.run_mcts(env_cfg, mcts_cfg, evaluate, st, k,
                                num_simulations=sims, add_noise=False)
 
@@ -49,8 +50,8 @@ def _play_plies(env_cfg: EnvConfig, mcts_cfg: MCTSConfig,
         key, ks = jax.random.split(key)
         res = jax.lax.cond(
             (ply0 + i) % 2 == 0,
-            lambda s, k: do_search(eval_black, sims_black, s, k),
-            lambda s, k: do_search(eval_white, sims_white, s, k),
+            lambda s, k: do_search(mcts_black, eval_black, sims_black, s, k),
+            lambda s, k: do_search(mcts_white, eval_white, sims_white, s, k),
             st, ks)
         # greedy action; frozen envs step harmlessly (no-op)
         action = jnp.argmax(res.visits, axis=-1).astype(jnp.int32)
@@ -60,16 +61,44 @@ def _play_plies(env_cfg: EnvConfig, mcts_cfg: MCTSConfig,
     return state
 
 
+def random_openings(env_cfg: EnvConfig, num_games: int, plies: int,
+                    key: jax.Array):
+    """Board states after `plies` uniform-random legal moves (diverse
+    starting positions so deterministic greedy players produce distinct
+    games; `plies` must be even so black is to move and far smaller than
+    any winning line so no opening can be terminal)."""
+    assert plies % 2 == 0 and plies < 2 * env_cfg.n_in_row - 1
+    state = vector.init(env_cfg, num_games)
+
+    @jax.jit
+    def one(state, k):
+        legal = state.board == 0
+        logits = jnp.where(legal, 0.0, -jnp.inf)
+        acts = jax.random.categorical(k, logits, axis=-1).astype(jnp.int32)
+        return vector.step(env_cfg, state, acts)
+
+    for k in jax.random.split(key, plies):
+        state = one(state, k)
+    return state
+
+
 def play_games(env_cfg: EnvConfig, mcts_cfg: MCTSConfig,
                eval_black: Callable, eval_white: Callable,
                sims_black: int, sims_white: int,
                num_games: int, key: jax.Array,
-               plies_per_call: int = 2):
-    """Black = eval_black searcher, white = eval_white. Returns final state."""
-    state = vector.init(env_cfg, num_games)
+               plies_per_call: int = 2,
+               mcts_black: Optional[MCTSConfig] = None,
+               mcts_white: Optional[MCTSConfig] = None,
+               init_state=None):
+    """Black = eval_black searcher, white = eval_white. Returns final state.
+
+    Per-side search configs (A/B experiments) default to `mcts_cfg`;
+    `init_state` (e.g. random_openings) replaces the empty boards — its
+    move_count parity must put black to move."""
+    state = vector.init(env_cfg, num_games) if init_state is None else init_state
     step_fn = jax.jit(functools.partial(
-        _play_plies, env_cfg, mcts_cfg, eval_black, eval_white,
-        sims_black, sims_white, plies_per_call))
+        _play_plies, env_cfg, mcts_black or mcts_cfg, mcts_white or mcts_cfg,
+        eval_black, eval_white, sims_black, sims_white, plies_per_call))
     ply = 0
     while ply < env_cfg.num_actions and not bool(state.done.all()):
         key, k = jax.random.split(key)
@@ -81,10 +110,16 @@ def play_games(env_cfg: EnvConfig, mcts_cfg: MCTSConfig,
 def evaluate_vs(env_cfg: EnvConfig, mcts_cfg: MCTSConfig,
                 eval_a: Callable, eval_b: Callable,
                 sims_a: int, sims_b: int, num_games: int,
-                key: jax.Array) -> Dict[str, float]:
+                key: jax.Array,
+                mcts_a: Optional[MCTSConfig] = None,
+                mcts_b: Optional[MCTSConfig] = None,
+                opening_plies: int = 0) -> Dict[str, float]:
     """A plays black in half the games, white in the other half.
 
     Returns win/draw/loss counts and score for A (host floats).
+    `opening_plies` > 0 starts both halves from the SAME random openings —
+    required when both players are deterministic (greedy net-vs-net A/Bs
+    would otherwise repeat one game N times).
     """
     if num_games % 2 or num_games < 2:
         raise ValueError(
@@ -94,14 +129,21 @@ def evaluate_vs(env_cfg: EnvConfig, mcts_cfg: MCTSConfig,
     # perf preset's search config asks for int16 fixed-point (whose budget
     # cap the big pure-MCTS anchor searches would exceed anyway — ADVICE.md
     # round-1 high finding).
-    mcts_cfg = dataclasses.replace(mcts_cfg, value_dtype="float32")
+    exact = lambda c: dataclasses.replace(c, value_dtype="float32")
+    mcts_cfg = exact(mcts_cfg)
+    mcts_a = exact(mcts_a) if mcts_a is not None else mcts_cfg
+    mcts_b = exact(mcts_b) if mcts_b is not None else mcts_cfg
     half = num_games // 2
-    k1, k2 = jax.random.split(key)
+    k1, k2, ko = jax.random.split(key, 3)
+    init = (random_openings(env_cfg, half, opening_plies, ko)
+            if opening_plies else None)
 
     fa = play_games(env_cfg, mcts_cfg, eval_a, eval_b, sims_a, sims_b,
-                    half, k1)   # A is black
+                    half, k1, mcts_black=mcts_a, mcts_white=mcts_b,
+                    init_state=init)   # A is black
     fb = play_games(env_cfg, mcts_cfg, eval_b, eval_a, sims_b, sims_a,
-                    half, k2)   # A is white
+                    half, k2, mcts_black=mcts_b, mcts_white=mcts_a,
+                    init_state=init)   # A is white
     wa = np.asarray(fa.winner)
     wb = np.asarray(fb.winner)
     wins = int((wa == 1).sum() + (wb == -1).sum())

@@ -107,7 +107,13 @@ def train(cfg: RunConfig, workdir: Optional[str] = None,
 
 def run_eval(cfg: RunConfig, carry, ladder: LadderState, it: int,
              key: jax.Array, log: MetricsLogger):
-    """Current net-MCTS vs the pure-MCTS anchor (SURVEY.md §3.5)."""
+    """Current net-MCTS vs the pure-MCTS anchor (SURVEY.md §3.5).
+
+    The anchor always searches with the CANONICAL exact config (sequential
+    PUCT, no depth cap) so its strength — and therefore the Elo scale — is
+    preset-independent; only the net side uses the preset's search config.
+    """
+    from alphafive_tpu.config import MCTSConfig
     ts = carry.train_state
     net_eval = net_evaluator(cfg.env, cfg.net, ts.params, ts.batch_stats)
     anchor = rollout_evaluator(cfg.env)
@@ -115,7 +121,8 @@ def run_eval(cfg: RunConfig, carry, ladder: LadderState, it: int,
     result = evaluate_vs(
         cfg.env, cfg.mcts, net_eval, anchor,
         eval_sims, ladder.anchor_rollouts,
-        cfg.train.eval_games, jax.random.fold_in(key, it))
+        cfg.train.eval_games, jax.random.fold_in(key, it),
+        mcts_a=cfg.mcts, mcts_b=MCTSConfig())
     elo = update_ladder(ladder, result, it)
     log.log({"kind": "eval", "iter": it, **result, "elo": elo,
              "anchor_rollouts": ladder.history[-1]["anchor_rollouts"],
