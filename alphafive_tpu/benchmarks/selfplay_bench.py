@@ -61,5 +61,7 @@ def run(cfg: RunConfig, plies: int = 8, warmup: int = 1,
         "env_steps_per_s": env_steps / best,
         "env_steps_per_s_per_chip": env_steps / best / n_chips,
         "sims_per_s": sims / best,
-        "net_evals_per_s": sims / best,  # one batched net eval per sim
+        # one leaf evaluated per sim; forwards are batched leaf_batch-wide
+        "leaf_evals_per_s": sims / best,
+        "net_forwards_per_s": sims / best / max(cfg.mcts.leaf_batch, 1),
     }

@@ -21,15 +21,28 @@ import sys
 from typing import List, Optional
 
 
+def _parse_override_value(raw: str, old):
+    if raw.lower() in ("none", "null"):
+        return None
+    if isinstance(old, bool):
+        return raw.lower() in ("1", "true", "yes")
+    if old is None:  # Optional field (e.g. mcts.branch_cap/max_depth)
+        for typ in (int, float):
+            try:
+                return typ(raw)
+            except ValueError:
+                pass
+        return raw
+    return type(old)(raw)
+
+
 def _apply_overrides(cfg, overrides: List[str]):
     for ov in overrides:
         path, _, raw = ov.partition("=")
         assert raw, f"bad override {ov!r} (want section.field=value)"
         section, _, field = path.partition(".")
         sub = getattr(cfg, section)
-        old = getattr(sub, field)
-        typ = type(old)
-        val = (raw.lower() in ("1", "true", "yes")) if typ is bool else typ(raw)
+        val = _parse_override_value(raw, getattr(sub, field))
         cfg = dataclasses.replace(
             cfg, **{section: dataclasses.replace(sub, **{field: val})})
     return cfg

@@ -113,6 +113,16 @@ class MCTSConfig:
     #   "root" — virtual visits on the root edges only (cheapest; lanes
     #            can collapse onto the same deep leaf).
     virtual_mode: str = "path"
+    # Branch cap: when set, each node tracks only its top-`branch_cap`
+    # children by prior (slot-indexed edge arrays [E, NN, C] instead of
+    # action-indexed [E, NN, A]). Cuts the tree's scatter/relayout traffic
+    # — the measured throughput bottleneck — by A/C (3.5x at 15x15 with
+    # C=64, 5.6x at 19x19). Approximation: a node's children outside its
+    # top-C priors are never searched (KataGo-style policy pruning; at
+    # C=64 and 400 sims the uncapped search visits far fewer than 64
+    # children per node, so equal-budget strength is unaffected — A/B in
+    # docs/PERFORMANCE.md). None = exact full-width (parity tests).
+    branch_cap: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

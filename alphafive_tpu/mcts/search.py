@@ -238,6 +238,13 @@ def run_mcts(
     (done envs are searched harmlessly but their visits are meaningless —
     callers reset or mask them).
     """
+    if mcts_cfg.branch_cap is not None:
+        assert mcts_cfg.select_impl != "pallas", (
+            "branch_cap and select_impl='pallas' are mutually exclusive")
+        from alphafive_tpu.mcts.search_capped import run_mcts_capped
+        return run_mcts_capped(env_cfg, mcts_cfg, evaluate, state, key,
+                               num_simulations=num_simulations,
+                               add_noise=add_noise)
     if mcts_cfg.select_impl == "pallas":
         assert mcts_cfg.leaf_batch <= 1, (
             "select_impl='pallas' implements sequential descent only; "

@@ -1,0 +1,307 @@
+"""Branch-capped batched MCTS: slot-indexed trees over top-C children.
+
+Same search semantics as mcts/search.py (PUCT select / expand / batched
+evaluate / scatter backup, leaf-parallel passes with virtual visits) with
+one structural change: every node stores only its top-``branch_cap``
+children BY PRIOR, so all edge arrays are [E, NN, C] instead of
+[E, NN, A]. The tree's full-array scatter→gather relayout traffic — the
+measured round-1/round-2 throughput bottleneck (docs/PERFORMANCE.md) —
+shrinks by A/C (3.5× at 15×15 / C=64, 5.6× at 19×19), and every select
+step's row gathers and PUCT math shrink the same way.
+
+Approximation vs the exact search (run_mcts with branch_cap=None): a
+node's children outside its top-C priors are unreachable. With C=64 and
+400-sim budgets the exact search visits far fewer than 64 children per
+node, so the cap is usually inactive; the equal-budget strength A/B lives
+in docs/PERFORMANCE.md. Everything else matches the exact search: same
+PUCT formula, same terminal/value conventions, same leaf-parallel
+virtual-visit passes (config.MCTSConfig.virtual_mode), same noise.
+
+The reference family has no analog (its recursive MCTS materializes
+children lazily in Python dicts — SURVEY.md §3.2); this is the
+array-MCTS equivalent of lazy children.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from alphafive_tpu.config import EnvConfig, MCTSConfig
+from alphafive_tpu.env import vector
+from alphafive_tpu.env.vector import EnvState
+from alphafive_tpu.mcts.search import (Evaluator, SearchResult,
+                                       _puct_scores_n, dirichlet_noise,
+                                       masked_softmax)
+
+
+@struct.dataclass
+class CappedTree:
+    # edge stats [E, NN, C] (slot-indexed)
+    n: jnp.ndarray         # uint16 visit counts
+    w: jnp.ndarray         # value sums (value_dtype)
+    p: jnp.ndarray         # priors (prior_dtype); pads/illegal = -1
+    child: jnp.ndarray     # int16 child node index, -1 if unexpanded
+    cand_act: jnp.ndarray  # int16 action id per slot
+    # node stats [E, NN] / [E, NN, A]
+    node_done: jnp.ndarray
+    node_winner: jnp.ndarray
+    node_to_play: jnp.ndarray
+    node_last: jnp.ndarray
+    node_count: jnp.ndarray
+    node_board: jnp.ndarray
+
+
+def _top_c(p_masked: jnp.ndarray, c: int, prior_dtype):
+    """(slot priors [..., C], slot actions i16[..., C]) from [..., A] priors.
+
+    Slots holding no usable child (pad, illegal, or underflowed-to-zero
+    prior) store -1 in the prior — the same sign trick the exact search
+    uses, so selection needs no separate legality array."""
+    vals, idx = jax.lax.top_k(p_masked, c)
+    vals = jnp.where(vals > 0, vals, -1.0).astype(prior_dtype)
+    return vals, idx.astype(jnp.int16)
+
+
+def _select_one(tree_n, tree_w, tree_p, tree_child, tree_done, vroot,
+                c_puct, depth_limit, w_inv_scale, forced_k):
+    """Single-env PUCT descent over slot-indexed rows (vmapped by caller).
+
+    Identical control flow to search._select_one; rows are [C]-wide and
+    the recorded path holds SLOTS, not actions."""
+    d = depth_limit
+
+    def cond(c):
+        return ~c[2]
+
+    def body(c):
+        cur, _, _, depth, pn, pa = c
+        revisit = tree_done[cur] | (depth >= d)
+        p_signed = tree_p[cur].astype(jnp.float32)
+        legal = p_signed >= 0
+        w_row = tree_w[cur].astype(jnp.float32) * w_inv_scale
+        p_row = jnp.maximum(p_signed, 0.0)
+        nf = tree_n[cur].astype(jnp.float32)
+        nf = jnp.where(cur == 0, nf + vroot, nf)
+        score = _puct_scores_n(nf, w_row, p_row, legal, c_puct)
+        forced = (legal & (depth == 0) & (nf > 0)
+                  & (nf * nf < forced_k * p_row * jnp.sum(nf)))
+        score = jnp.where(forced, jnp.inf, score)
+        s = jnp.argmax(score).astype(jnp.int32)
+        ch = tree_child[cur, s].astype(jnp.int32)
+        stop = revisit | (ch < 0)
+        rec = ~revisit
+        slot = jnp.minimum(depth, d - 1)
+        pn = pn.at[slot].set(jnp.where(rec, cur, pn[slot]))
+        pa = pa.at[slot].set(jnp.where(rec, s, pa[slot]))
+        depth = depth + rec.astype(jnp.int32)
+        nxt = jnp.where(stop, cur, ch)
+        sel = jnp.where(revisit, -1, s)
+        return (nxt, sel, stop, depth, pn, pa)
+
+    init = (jnp.int32(0), jnp.int32(-1), jnp.array(False), jnp.int32(0),
+            jnp.zeros((d,), jnp.int32), jnp.zeros((d,), jnp.int32))
+    cur, sel, _, depth, pn, pa = jax.lax.while_loop(cond, body, init)
+    return cur, sel, depth, pn, pa
+
+
+def run_mcts_capped(
+    env_cfg: EnvConfig,
+    mcts_cfg: MCTSConfig,
+    evaluate: Evaluator,
+    state: EnvState,
+    key: jax.Array,
+    *,
+    num_simulations: Optional[int] = None,
+    add_noise: bool = True,
+) -> SearchResult:
+    """Branch-capped search; same contract as search.run_mcts."""
+    sims = int(num_simulations or mcts_cfg.num_simulations)
+    e, a = state.board.shape
+    c = min(int(mcts_cfg.branch_cap), a)
+    nn = sims + 1
+    depth_limit = min(nn, mcts_cfg.max_depth or nn)
+    prior_dtype = (jnp.bfloat16 if mcts_cfg.prior_dtype == "bfloat16"
+                   else jnp.float32)
+    fixed_w = mcts_cfg.value_dtype == "int16" and nn <= 511
+    value_dtype = jnp.int16 if fixed_w else jnp.float32
+    w_scale = 64.0 if fixed_w else 1.0
+    c_puct = jnp.float32(mcts_cfg.c_puct)
+    forced_k = jnp.float32(mcts_cfg.forced_playouts_k if add_noise else 0.0)
+    assert nn <= 32767
+
+    key, knoise, keval = jax.random.split(key, 3)
+
+    tree = CappedTree(
+        n=jnp.zeros((e, nn, c), jnp.uint16),
+        w=jnp.zeros((e, nn, c), value_dtype),
+        p=jnp.full((e, nn, c), -1.0, prior_dtype),
+        child=jnp.full((e, nn, c), -1, jnp.int16),
+        cand_act=jnp.zeros((e, nn, c), jnp.int16),
+        node_done=jnp.zeros((e, nn), bool),
+        node_winner=jnp.zeros((e, nn), jnp.int8),
+        node_to_play=jnp.ones((e, nn), jnp.int8),
+        node_last=jnp.full((e, nn), -1, jnp.int32),
+        node_count=jnp.zeros((e, nn), jnp.int32),
+        node_board=jnp.zeros((e, nn, a), jnp.int8),
+    )
+    tree = tree.replace(
+        node_board=tree.node_board.at[:, 0].set(state.board),
+        node_to_play=tree.node_to_play.at[:, 0].set(state.to_play),
+        node_last=tree.node_last.at[:, 0].set(state.last_move),
+        node_count=tree.node_count.at[:, 0].set(state.move_count),
+        node_done=tree.node_done.at[:, 0].set(state.done),
+        node_winner=tree.node_winner.at[:, 0].set(state.winner),
+    )
+    root_logits, _ = evaluate(state.board, state.to_play, state.last_move,
+                              keval)
+    root_legal = state.board == 0
+    root_p = masked_softmax(root_logits, root_legal)
+    if add_noise:
+        noise = dirichlet_noise(knoise, mcts_cfg.dirichlet_alpha, root_legal)
+        eps = jnp.float32(mcts_cfg.dirichlet_eps)
+        root_p = (1.0 - eps) * root_p + eps * noise
+    root_slot_p, root_slot_act = _top_c(
+        jnp.where(root_legal, root_p, 0.0), c, prior_dtype)
+    tree = tree.replace(
+        p=tree.p.at[:, 0].set(root_slot_p),
+        cand_act=tree.cand_act.at[:, 0].set(root_slot_act))
+
+    earange = jnp.arange(e)
+    select_v = jax.vmap(_select_one,
+                        in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None))
+
+    lb = max(1, int(mcts_cfg.leaf_batch))
+    while sims % lb:
+        lb -= 1
+    passes = sims // lb
+    d = depth_limit
+    path_virtual = mcts_cfg.virtual_mode == "path" and lb > 1
+
+    def pass_body(p_, carry):
+        tree, key = carry
+        key, keval = jax.random.split(key)
+
+        def one_descent(j, cst):
+            n_cur, vroot, lps, slots, deps, pns, pas = cst
+            lp, sel, depth, pn, pa = select_v(
+                n_cur, tree.w, tree.p, tree.child, tree.node_done, vroot,
+                c_puct, d, 1.0 / w_scale, forced_k)
+            dn_ = jnp.arange(d)[None, :]
+            on_path_ = dn_ < depth[:, None]
+            if path_virtual:
+                n_cur = n_cur.at[earange[:, None], pn, pa].add(
+                    on_path_.astype(jnp.uint16))
+            else:
+                root_slot = pa[:, 0]
+                vroot = vroot.at[earange, root_slot].add(
+                    (depth > 0).astype(jnp.float32))
+            return (n_cur, vroot,
+                    lps.at[:, j].set(lp), slots.at[:, j].set(sel),
+                    deps.at[:, j].set(depth),
+                    pns.at[:, j].set(pn), pas.at[:, j].set(pa))
+
+        init = (tree.n, jnp.zeros((e, c), jnp.float32),
+                jnp.zeros((e, lb), jnp.int32), jnp.zeros((e, lb), jnp.int32),
+                jnp.zeros((e, lb), jnp.int32),
+                jnp.zeros((e, lb, d), jnp.int32),
+                jnp.zeros((e, lb, d), jnp.int32))
+        n_virt, _, lps, slots, deps, pns, pas = jax.lax.fori_loop(
+            0, lb, one_descent, init)
+        if path_virtual:
+            tree = tree.replace(n=n_virt)
+
+        is_revisit = slots < 0
+        safe_slot = jnp.maximum(slots, 0)
+        eidx2 = earange[:, None]
+        safe_act = tree.cand_act[eidx2, lps, safe_slot].astype(jnp.int32)
+
+        parent_state = EnvState(
+            board=tree.node_board[eidx2, lps],
+            to_play=tree.node_to_play[eidx2, lps],
+            last_move=tree.node_last[eidx2, lps],
+            move_count=tree.node_count[eidx2, lps],
+            done=tree.node_done[eidx2, lps],
+            winner=tree.node_winner[eidx2, lps],
+        )
+        flat = lambda x: x.reshape((e * lb,) + x.shape[2:])
+        unflat = lambda x: x.reshape((e, lb) + x.shape[1:])
+        stepped = jax.tree.map(unflat, vector.step(
+            env_cfg, jax.tree.map(flat, parent_state), flat(safe_act)))
+
+        def sel_(a_, b_):
+            m = is_revisit.reshape(is_revisit.shape + (1,) * (a_.ndim - 2))
+            return jnp.where(m, a_, b_)
+
+        leaf_state = jax.tree.map(sel_, parent_state, stepped)
+
+        base = 1 + p_ * lb
+        edge_key = lps * c + safe_slot
+        expanding = ~is_revisit
+        same = ((edge_key[:, :, None] == edge_key[:, None, :])
+                & expanding[:, :, None] & expanding[:, None, :])
+        jj = jnp.arange(lb, dtype=jnp.int32)
+        first_lane = jnp.where(same, jj[None, None, :], lb).min(-1)
+        link_id = base + first_lane
+        is_first = expanding & (first_lane == jj[None, :])
+        link_add = jnp.where(is_first, link_id + 1, 0).astype(jnp.int16)
+
+        # ONE batched evaluation per pass
+        logits_f, v_f = evaluate(flat(leaf_state.board),
+                                 flat(leaf_state.to_play),
+                                 flat(leaf_state.last_move), keval)
+        logits, v = unflat(logits_f), unflat(v_f)
+        leaf_value = jnp.where(
+            leaf_state.done,
+            (leaf_state.winner * leaf_state.to_play).astype(jnp.float32),
+            v.astype(jnp.float32))
+        child_legal = stepped.board == 0
+        child_p = masked_softmax(logits, child_legal)
+        slot_p, slot_act = _top_c(
+            jnp.where(child_legal, child_p, 0.0), c, prior_dtype)
+
+        upd = lambda arr, u: jax.lax.dynamic_update_slice_in_dim(
+            arr, u, base, axis=1)
+        tree = tree.replace(
+            node_board=upd(tree.node_board, stepped.board),
+            node_to_play=upd(tree.node_to_play, stepped.to_play),
+            node_last=upd(tree.node_last, stepped.last_move),
+            node_count=upd(tree.node_count, stepped.move_count),
+            node_done=upd(tree.node_done, stepped.done),
+            node_winner=upd(tree.node_winner, stepped.winner),
+            p=upd(tree.p, slot_p),
+            cand_act=upd(tree.cand_act, slot_act),
+            child=tree.child.at[eidx2, lps, safe_slot].add(link_add),
+        )
+
+        dn = jnp.arange(d)[None, None, :]
+        on_path = dn < deps[:, :, None]
+        exp_ = (deps[:, :, None] - dn).astype(jnp.int32)
+        sign = jnp.where(exp_ % 2 == 0, 1.0, -1.0)
+        vals = jnp.where(on_path, sign * leaf_value[:, :, None], 0.0)
+        if fixed_w:
+            vals = jnp.round(vals * w_scale).astype(jnp.int16)
+        eidx3 = earange[:, None, None]
+        new_w = tree.w.at[eidx3, pns, pas].add(vals)
+        if path_virtual:
+            tree = tree.replace(w=new_w)
+        else:
+            tree = tree.replace(
+                n=tree.n.at[eidx3, pns, pas].add(on_path.astype(jnp.uint16)),
+                w=new_w)
+        return tree, key
+
+    tree, _ = jax.lax.fori_loop(0, passes, pass_body, (tree, key))
+
+    # scatter slot visit counts back onto the action space
+    n0 = tree.n[:, 0, :].astype(jnp.float32)            # [E, C]
+    act0 = tree.cand_act[:, 0, :].astype(jnp.int32)     # [E, C]
+    visits = jnp.zeros((e, a), jnp.float32).at[
+        earange[:, None], act0].add(n0)                 # pads add 0
+    n_sum = n0.sum(-1)
+    w_root = tree.w[:, 0, :].astype(jnp.float32).sum(-1) / w_scale
+    root_value = jnp.where(n_sum > 0, w_root / jnp.maximum(n_sum, 1.0), 0.0)
+    return SearchResult(visits=visits, root_value=root_value, priors=root_p)

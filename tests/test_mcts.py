@@ -194,6 +194,59 @@ def test_leaf_batch_rounds_to_divisor():
     assert float(np.asarray(res.visits).sum()) == 50
 
 
+@pytest.mark.parametrize("lb", [1, 4])
+def test_branch_cap_full_width_matches_exact(lb):
+    """branch_cap == num_actions is the exact search in slot clothing:
+    with an evaluator giving DISTINCT priors (no argmax ties — slot order
+    differs from action order), visit counts must match the uncapped
+    search exactly, for both sequential and leaf-parallel passes."""
+    import dataclasses
+    from alphafive_tpu.env import vector as _v
+    from tests.test_pallas_select import frozen_net_evaluator
+
+    env_cfg = EnvConfig(board_size=7, n_in_row=4)
+    base = MCTSConfig(num_simulations=64, leaf_batch=lb)
+    capped = dataclasses.replace(base, branch_cap=env_cfg.num_actions)
+    ev = frozen_net_evaluator(env_cfg, jax.random.key(7))
+    state = _v.init(env_cfg, 4)
+    key = jax.random.key(13)
+    for _ in range(5):
+        key, k = jax.random.split(key)
+        legal = state.board == 0
+        acts = jax.random.categorical(
+            k, jnp.where(legal, 0.0, -jnp.inf), axis=-1).astype(jnp.int32)
+        state = _v.step(env_cfg, state, acts)
+
+    ra = jax.jit(functools.partial(
+        search.run_mcts, env_cfg, base, ev, add_noise=False))(state, key)
+    rb = jax.jit(functools.partial(
+        search.run_mcts, env_cfg, capped, ev, add_noise=False))(state, key)
+    np.testing.assert_array_equal(np.asarray(ra.visits),
+                                  np.asarray(rb.visits))
+    np.testing.assert_allclose(np.asarray(ra.root_value),
+                               np.asarray(rb.root_value), rtol=1e-5)
+
+
+def test_branch_cap_small_budget_and_tactics():
+    """A small cap spends the full budget on legal moves and still finds
+    the forced win (it has the highest prior under the uniform evaluator
+    only by visits — use enough sims that PUCT converges)."""
+    env_cfg = EnvConfig(board_size=5, n_in_row=4)
+    mcts_cfg = MCTSConfig(num_simulations=96, leaf_batch=4, branch_cap=8)
+    g = ScalarGomoku(5, 4)
+    for m in [6, 0, 7, 1, 8, 2]:
+        g.step(m)
+    state = to_env_state([g])
+    res = jax.jit(functools.partial(
+        search.run_mcts, env_cfg, mcts_cfg, uniform_evaluator(env_cfg),
+        add_noise=False))(state, jax.random.key(5))
+    v = np.asarray(res.visits)[0]
+    assert v.sum() == 96
+    occ = np.asarray(state.board)[0] != 0
+    assert (v[occ] == 0).all()
+    assert int(np.argmax(v)) in {5, 9}, v.reshape(5, 5)
+
+
 def test_int16_value_sums_close_to_f32():
     """value_dtype="int16" (1/64 fixed-point W) must track the exact search
     closely — NONZERO leaf values, so the scaling paths are exercised (a

@@ -239,6 +239,41 @@ def test_smoke_9x9_preset_end_to_end(tmp_path):
                                   np.asarray(carry_b.env_state.board))
 
 
+@pytest.mark.parametrize("preset", ["host_15x15", "pod_v5p16"])
+def test_multidevice_presets_compile_and_step(preset):
+    """The BASELINE cfg 3/4 presets' SPMD wiring (data=4 / data=8 mesh,
+    sharded envs+ring, replicated params, pmean learner) compiles and runs
+    one iteration on the fake CPU mesh at memory-reduced shape: board size
+    and mesh layout are the presets' own; env counts / sims / net width are
+    shrunk so the test is fast (VERDICT round-1 item 3)."""
+    from alphafive_tpu.config import get_preset, NetConfig, ReplayConfig
+
+    cfg = get_preset(preset)
+    n = cfg.mesh.data
+    assert n in (4, 8) and cfg.env.board_size == 15
+    cfg = dataclasses.replace(
+        cfg,
+        net=NetConfig(blocks=1, channels=8, value_hidden=8,
+                      compute_dtype="float32"),
+        mcts=dataclasses.replace(cfg.mcts, num_simulations=8, max_depth=8),
+        replay=ReplayConfig(capacity=64 * n, batch_size=8 * n,
+                            min_fill=8 * n),
+        train=dataclasses.replace(cfg.train, num_envs=2 * n,
+                                  selfplay_plies_per_iter=4,
+                                  learner_steps_per_iter=2),
+    )
+    mesh = parallel.make_mesh(n)
+    carry = parallel.init_carry(cfg, jax.random.key(0), mesh)
+    it = parallel.make_train_iteration(cfg, mesh, donate=False)
+    carry, m = it(carry, jax.random.key(1))
+    carry, m = it(carry, jax.random.key(2))
+    assert float(m["updated"]) == 1.0 and np.isfinite(float(m["loss"]))
+    p0 = jax.tree.leaves(carry.train_state.params)[0]
+    shards = [np.asarray(s.data) for s in p0.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
 def test_checkpoint_roundtrip(tiny, tmp_path):
     from alphafive_tpu.train import checkpoint as ckpt
     from alphafive_tpu.utils.elo import LadderState
