@@ -19,6 +19,55 @@ from alphafive_tpu.models.evaluator import net_evaluator
 from alphafive_tpu.train import actor, learner
 
 
+def run_iteration(cfg: RunConfig, warmup: int = 1, repeats: int = 3) -> Dict:
+    """Benchmark the FULL actor-learner iteration (self-play chunk +
+    replay write + learner steps) — BASELINE.json:9's "2048 envs + replay
+    + learner on 1 host" measured as the production program, on however
+    many devices are available (mesh.data clamped to the device count)."""
+    from alphafive_tpu import parallel
+
+    n = min(cfg.mesh.data, jax.device_count())
+    cfg = cfg.replace(mesh=cfg.mesh.__class__(data=n))
+    mesh = parallel.make_mesh(n)
+    key = jax.random.key(0)
+    carry = parallel.init_carry(cfg, key, mesh)
+    iteration = parallel.make_train_iteration(cfg, mesh, donate=False)
+
+    t_compile = time.time()
+    carry, metrics = iteration(carry, key)
+    jax.block_until_ready(metrics)
+    compile_s = time.time() - t_compile
+    for _ in range(warmup):
+        carry, metrics = iteration(carry, key)
+    jax.block_until_ready(metrics)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        carry, metrics = iteration(carry, key)
+        jax.block_until_ready(metrics)
+        best = min(best, time.time() - t0)
+
+    env_steps = cfg.train.num_envs * cfg.train.selfplay_plies_per_iter
+    sims = env_steps * cfg.mcts.num_simulations
+    n_chips = mesh.devices.size
+    return {
+        "preset": cfg.name,
+        "mode": "iteration",
+        "board": cfg.env.board_size,
+        "num_envs": cfg.train.num_envs,
+        "num_simulations": cfg.mcts.num_simulations,
+        "plies": cfg.train.selfplay_plies_per_iter,
+        "learner_steps": cfg.train.learner_steps_per_iter,
+        "chips": n_chips,
+        "seconds": best,
+        "compile_seconds": compile_s,
+        "env_steps_per_s": env_steps / best,
+        "env_steps_per_s_per_chip": env_steps / best / n_chips,
+        "sims_per_s": sims / best,
+        "updated": float(metrics["updated"]),
+    }
+
+
 def run(cfg: RunConfig, plies: int = 8, warmup: int = 1,
         repeats: int = 3) -> Dict:
     key = jax.random.key(0)

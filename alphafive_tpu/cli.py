@@ -103,6 +103,10 @@ def main(argv=None):
     sp = sub.add_parser("bench", help="self-play throughput benchmark")
     common(sp)
     sp.add_argument("--plies", type=int, default=8)
+    sp.add_argument("--mode", choices=["selfplay", "iteration"],
+                    default="selfplay",
+                    help="'iteration' benches the full actor-learner step "
+                         "(self-play + replay + learner)")
 
     sp = sub.add_parser("export", help="export a workdir checkpoint as a "
                                        "distributable params-only model")
@@ -301,7 +305,10 @@ def _cmd_play(cfg, args):
 def _cmd_bench(cfg, args):
     import json as _json
     from alphafive_tpu.benchmarks import selfplay_bench
-    print(_json.dumps(selfplay_bench.run(cfg, plies=args.plies)))
+    if getattr(args, "mode", "selfplay") == "iteration":
+        print(_json.dumps(selfplay_bench.run_iteration(cfg)))
+    else:
+        print(_json.dumps(selfplay_bench.run(cfg, plies=args.plies)))
 
 
 if __name__ == "__main__":

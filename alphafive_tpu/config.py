@@ -231,7 +231,7 @@ def chip_15x15() -> RunConfig:
         net=NetConfig(blocks=4, channels=64),
         mcts=MCTSConfig(num_simulations=400, max_depth=64,
                         prior_dtype="bfloat16", value_dtype="int16",
-                        leaf_batch=8),
+                        leaf_batch=8, branch_cap=64),
         train=TrainConfig(num_envs=256, selfplay_plies_per_iter=32),
     )
 
@@ -245,7 +245,7 @@ def host_15x15() -> RunConfig:
         net=NetConfig(blocks=4, channels=64),
         mcts=MCTSConfig(num_simulations=400, max_depth=64,
                         prior_dtype="bfloat16", value_dtype="int16",
-                        leaf_batch=8),
+                        leaf_batch=8, branch_cap=64),
         replay=ReplayConfig(capacity=500_000, batch_size=2_048,
                             min_fill=16_384),
         train=TrainConfig(num_envs=2_048, selfplay_plies_per_iter=16,
@@ -263,7 +263,7 @@ def pod_v5p16() -> RunConfig:
         net=NetConfig(blocks=4, channels=64),
         mcts=MCTSConfig(num_simulations=400, max_depth=64,
                         prior_dtype="bfloat16", value_dtype="int16",
-                        leaf_batch=8),
+                        leaf_batch=8, branch_cap=64),
         replay=ReplayConfig(capacity=1_000_000, batch_size=4_096,
                             min_fill=32_768),
         train=TrainConfig(num_envs=8_192, selfplay_plies_per_iter=16,
@@ -281,7 +281,7 @@ def renju_19x19() -> RunConfig:
         net=NetConfig(blocks=10, channels=128),
         mcts=MCTSConfig(num_simulations=400, max_depth=64,
                         prior_dtype="bfloat16", value_dtype="int16",
-                        leaf_batch=8),
+                        leaf_batch=8, branch_cap=64),
         replay=ReplayConfig(capacity=300_000, batch_size=1_024,
                             min_fill=8_192),
         train=TrainConfig(num_envs=512, selfplay_plies_per_iter=16),

@@ -14,8 +14,12 @@ node's children outside its top-C priors are unreachable. With C=64 and
 400-sim budgets the exact search visits far fewer than 64 children per
 node, so the cap is usually inactive; the equal-budget strength A/B lives
 in docs/PERFORMANCE.md. Everything else matches the exact search: same
-PUCT formula, same terminal/value conventions, same leaf-parallel
-virtual-visit passes (config.MCTSConfig.virtual_mode), same noise.
+PUCT formula, same terminal/value conventions, same noise. Leaf-parallel
+passes always use FULL-PATH virtual visits here, computed inside the
+descent loop from the recorded path buffers instead of scattered into the
+visit array (config.MCTSConfig.virtual_mode is ignored — the compact form
+makes "path" as cheap as "root"): the tree arrays stay immutable across
+the whole select phase.
 
 The reference family has no analog (its recursive MCTS materializes
 children lazily in Python dicts — SURVEY.md §3.2); this is the
@@ -66,13 +70,32 @@ def _top_c(p_masked: jnp.ndarray, c: int, prior_dtype):
     return vals, idx.astype(jnp.int16)
 
 
-def _select_one(tree_n, tree_w, tree_p, tree_child, tree_done, vroot,
-                c_puct, depth_limit, w_inv_scale, forced_k):
+def _select_one(tree_n, tree_w, tree_p, tree_child, tree_done,
+                pns_prev, pas_prev, deps_prev,
+                c_puct, depth_limit, w_inv_scale, forced_k, num_slots):
     """Single-env PUCT descent over slot-indexed rows (vmapped by caller).
 
     Identical control flow to search._select_one; rows are [C]-wide and
-    the recorded path holds SLOTS, not actions."""
+    the recorded path holds SLOTS, not actions.
+
+    Virtual visits are COMPUTED, not scattered: earlier lanes' recorded
+    paths (pns_prev/pas_prev [LB, D], deps_prev [LB]; unfinished lanes
+    have depth 0 and contribute nothing) are compared against the current
+    node inside the loop body — a [LB, D, C] one-hot reduction on the VPU.
+    This keeps the big tree arrays IMMUTABLE for the whole select phase
+    (their scatter→gather relayout happens once per pass) while preserving
+    full-path virtual-visit semantics: bit-identical to the scatter
+    implementation in mcts/search.py (test_branch_cap_full_width_matches_
+    exact pins this at leaf_batch 4)."""
     d = depth_limit
+    dmask = jnp.arange(d)[None, :] < deps_prev[:, None]        # [LB, D]
+
+    def virt_row(cur):
+        match = dmask & (pns_prev == cur)                      # [LB, D]
+        onehot = (pas_prev[:, :, None]
+                  == jnp.arange(num_slots)[None, None, :])     # [LB, D, C]
+        return jnp.sum(match[:, :, None] & onehot,
+                       axis=(0, 1)).astype(jnp.float32)        # [C]
 
     def cond(c):
         return ~c[2]
@@ -84,8 +107,7 @@ def _select_one(tree_n, tree_w, tree_p, tree_child, tree_done, vroot,
         legal = p_signed >= 0
         w_row = tree_w[cur].astype(jnp.float32) * w_inv_scale
         p_row = jnp.maximum(p_signed, 0.0)
-        nf = tree_n[cur].astype(jnp.float32)
-        nf = jnp.where(cur == 0, nf + vroot, nf)
+        nf = tree_n[cur].astype(jnp.float32) + virt_row(cur)
         score = _puct_scores_n(nf, w_row, p_row, legal, c_puct)
         forced = (legal & (depth == 0) & (nf > 0)
                   & (nf * nf < forced_k * p_row * jnp.sum(nf)))
@@ -171,48 +193,39 @@ def run_mcts_capped(
         cand_act=tree.cand_act.at[:, 0].set(root_slot_act))
 
     earange = jnp.arange(e)
-    select_v = jax.vmap(_select_one,
-                        in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None))
+    select_v = jax.vmap(
+        _select_one,
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None, None, None))
 
     lb = max(1, int(mcts_cfg.leaf_batch))
     while sims % lb:
         lb -= 1
     passes = sims // lb
     d = depth_limit
-    path_virtual = mcts_cfg.virtual_mode == "path" and lb > 1
 
     def pass_body(p_, carry):
         tree, key = carry
         key, keval = jax.random.split(key)
 
+        # select lb leaves; full-path virtual visits computed from the
+        # already-recorded path buffers (big tree arrays stay immutable
+        # for the whole select phase — see _select_one)
         def one_descent(j, cst):
-            n_cur, vroot, lps, slots, deps, pns, pas = cst
+            lps, slots, deps, pns, pas = cst
             lp, sel, depth, pn, pa = select_v(
-                n_cur, tree.w, tree.p, tree.child, tree.node_done, vroot,
-                c_puct, d, 1.0 / w_scale, forced_k)
-            dn_ = jnp.arange(d)[None, :]
-            on_path_ = dn_ < depth[:, None]
-            if path_virtual:
-                n_cur = n_cur.at[earange[:, None], pn, pa].add(
-                    on_path_.astype(jnp.uint16))
-            else:
-                root_slot = pa[:, 0]
-                vroot = vroot.at[earange, root_slot].add(
-                    (depth > 0).astype(jnp.float32))
-            return (n_cur, vroot,
-                    lps.at[:, j].set(lp), slots.at[:, j].set(sel),
+                tree.n, tree.w, tree.p, tree.child, tree.node_done,
+                pns, pas, deps,
+                c_puct, d, 1.0 / w_scale, forced_k, c)
+            return (lps.at[:, j].set(lp), slots.at[:, j].set(sel),
                     deps.at[:, j].set(depth),
                     pns.at[:, j].set(pn), pas.at[:, j].set(pa))
 
-        init = (tree.n, jnp.zeros((e, c), jnp.float32),
-                jnp.zeros((e, lb), jnp.int32), jnp.zeros((e, lb), jnp.int32),
+        init = (jnp.zeros((e, lb), jnp.int32), jnp.zeros((e, lb), jnp.int32),
                 jnp.zeros((e, lb), jnp.int32),
                 jnp.zeros((e, lb, d), jnp.int32),
                 jnp.zeros((e, lb, d), jnp.int32))
-        n_virt, _, lps, slots, deps, pns, pas = jax.lax.fori_loop(
+        lps, slots, deps, pns, pas = jax.lax.fori_loop(
             0, lb, one_descent, init)
-        if path_virtual:
-            tree = tree.replace(n=n_virt)
 
         is_revisit = slots < 0
         safe_slot = jnp.maximum(slots, 0)
@@ -285,13 +298,9 @@ def run_mcts_capped(
         if fixed_w:
             vals = jnp.round(vals * w_scale).astype(jnp.int16)
         eidx3 = earange[:, None, None]
-        new_w = tree.w.at[eidx3, pns, pas].add(vals)
-        if path_virtual:
-            tree = tree.replace(w=new_w)
-        else:
-            tree = tree.replace(
-                n=tree.n.at[eidx3, pns, pas].add(on_path.astype(jnp.uint16)),
-                w=new_w)
+        tree = tree.replace(
+            n=tree.n.at[eidx3, pns, pas].add(on_path.astype(jnp.uint16)),
+            w=tree.w.at[eidx3, pns, pas].add(vals))
         return tree, key
 
     tree, _ = jax.lax.fori_loop(0, passes, pass_body, (tree, key))
