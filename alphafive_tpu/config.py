@@ -322,7 +322,7 @@ def train_15x15() -> RunConfig:
         net=NetConfig(blocks=4, channels=64),
         mcts=MCTSConfig(num_simulations=240, max_depth=64,
                         temperature_moves=12, prior_dtype="bfloat16",
-                        value_dtype="int16", leaf_batch=8,
+                        value_dtype="int16", leaf_batch=8, branch_cap=64,
                         small_simulations=64),
         replay=ReplayConfig(capacity=400_000, batch_size=512,
                             min_fill=8_192),

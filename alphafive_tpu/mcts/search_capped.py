@@ -64,8 +64,17 @@ def _top_c(p_masked: jnp.ndarray, c: int, prior_dtype):
 
     Slots holding no usable child (pad, illegal, or underflowed-to-zero
     prior) store -1 in the prior — the same sign trick the exact search
-    uses, so selection needs no separate legality array."""
-    vals, idx = jax.lax.top_k(p_masked, c)
+    uses, so selection needs no separate legality array.
+
+    When the cap actually binds (c < A) the TPU-native `approx_max_k`
+    (recall ≈ 0.98) replaces the sort-based exact top_k: occasionally
+    swapping the ~64th-best prior for the ~66th is noise next to the cap
+    itself. c == A (the parity/equality tests) stays exact."""
+    if c < p_masked.shape[-1]:
+        vals, idx = jax.lax.approx_max_k(p_masked.astype(jnp.float32), c,
+                                         recall_target=0.98)
+    else:
+        vals, idx = jax.lax.top_k(p_masked, c)
     vals = jnp.where(vals > 0, vals, -1.0).astype(prior_dtype)
     return vals, idx.astype(jnp.int16)
 
