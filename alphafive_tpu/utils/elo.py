@@ -3,9 +3,16 @@
 The reference evaluates against pure MCTS and raises the anchor's playout
 budget once the net wins every game. We keep an explicit ladder: anchors are
 pure-MCTS players at doubling rollout budgets, each assigned a fixed rating
-(anchor 0 = 0 Elo by convention, each doubling estimated at +120 — the
-conventional scaling for rollout-doubling in this family; the *relative*
-curve is what BASELINE.json:5's learning-curve parity tracks).
+(anchor 0 = 0 Elo by convention).
+
+The per-doubling step is MEASURED, not assumed: benchmarks/calibrate_elo.py
+played a 64-game round-robin between anchors at 200..3200 rollouts on 9×9
+(both colors, canonical exact search). Pairwise gaps: adjacent doublings
+163/163/163/221 Elo (plus a 221 re-measurement at a different seed), 2-level
+skips 470/470; the least-squares fit over all pairs gives per-doubling steps
+[208, 232, 201, 221], mean ≈ 215. Round-1's assumed +120 was ~1.8× too low —
+absolute Elo numbers from that round's history understate anchor strength;
+relative curves are unaffected. Full table in docs/PERFORMANCE.md.
 """
 
 from __future__ import annotations
@@ -15,7 +22,7 @@ import math
 from typing import List, Optional
 
 
-ANCHOR_STEP_ELO = 120.0
+ANCHOR_STEP_ELO = 215.0  # measured (see module docstring); was 120 assumed
 
 
 @dataclasses.dataclass
