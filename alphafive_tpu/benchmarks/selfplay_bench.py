@@ -33,18 +33,21 @@ def run_iteration(cfg: RunConfig, warmup: int = 1, repeats: int = 3) -> Dict:
     carry = parallel.init_carry(cfg, key, mesh)
     iteration = parallel.make_train_iteration(cfg, mesh, donate=False)
 
+    # full host readback, not block_until_ready: the remote-TPU tunnel
+    # resolves scalar futures optimistically, which once reported a
+    # 27M-env-steps/s "measurement" (device_get actually waits)
     t_compile = time.time()
     carry, metrics = iteration(carry, key)
-    jax.block_until_ready(metrics)
+    jax.device_get(metrics)
     compile_s = time.time() - t_compile
     for _ in range(warmup):
         carry, metrics = iteration(carry, key)
-    jax.block_until_ready(metrics)
+    jax.device_get(metrics)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.time()
         carry, metrics = iteration(carry, key)
-        jax.block_until_ready(metrics)
+        jax.device_get(metrics)
         best = min(best, time.time() - t0)
 
     env_steps = cfg.train.num_envs * cfg.train.selfplay_plies_per_iter
@@ -79,20 +82,21 @@ def run(cfg: RunConfig, plies: int = 8, warmup: int = 1,
         actor.selfplay_chunk, cfg.env, cfg.mcts, evaluate,
         num_plies=plies))
 
+    # device_get, not block_until_ready — see run_iteration's timing note
     t_compile = time.time()
     st, traj, stats = fn(env_state, key)
-    jax.block_until_ready(traj.pi)
+    jax.device_get(traj.z)
     compile_s = time.time() - t_compile
 
     for _ in range(warmup):
         st, traj, _ = fn(st, key)
-    jax.block_until_ready(traj.pi)
+    jax.device_get(traj.z)
 
     best = float("inf")
     for _ in range(repeats):
         t0 = time.time()
         st, traj, _ = fn(st, key)
-        jax.block_until_ready(traj.pi)
+        jax.device_get(traj.z)
         best = min(best, time.time() - t0)
 
     n_chips = jax.device_count()
