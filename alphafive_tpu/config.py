@@ -162,6 +162,11 @@ class TrainConfig:
     eval_games: int = 32
     eval_simulations: int = 0  # 0 → use mcts.num_simulations
     eval_rollouts: int = 1000  # pure-MCTS anchor playouts (SURVEY.md §3.5)
+    # Ladder promotion stops doubling the anchor budget here. Besides eval
+    # cost, single-call duration matters on watchdogged remote-TPU
+    # runtimes: one 12800-rollout anchor search per device call exceeded
+    # the ~60s kill threshold and crash-looped a training run (round 2).
+    max_anchor_rollouts: int = 12_800
     checkpoint_every_iters: int = 50
     total_iters: int = 1_000
 
@@ -331,6 +336,7 @@ def train_15x15() -> RunConfig:
                           kl_stop_factor=4.0,
                           eval_every_iters=25, eval_games=32,
                           eval_simulations=240,
+                          max_anchor_rollouts=6_400,
                           checkpoint_every_iters=25,
                           total_iters=4_000),
     )

@@ -23,6 +23,10 @@ Shared conventions (the single source of truth, also in search.py):
     via `update_with_move` (SURVEY.md §2 "MCTS player"); with fixed-size
     arrays re-rooting costs a compaction pass, and a fresh tree with the
     same simulation budget is the standard array-MCTS design (mctx).
+    MEASURED, not just asserted: ReuseMCTS below implements the
+    reference's reuse, and the equal-budget A/B
+    (benchmarks/ab_subtree_reuse.py) scored reuse 0.531 ± 0.088 over 32
+    games — no detectable advantage (docs/PERFORMANCE.md).
 """
 
 from __future__ import annotations

@@ -5,19 +5,23 @@ TPU-first replacement for the reference's recursive Python MCTS
 JAX — fixed-size tree arrays per env, vmapped PUCT selection/expansion/backup,
 Dirichlet root noise"). Design:
 
-  * One simulation expands exactly one node, so node ``s+1`` is pre-assigned
-    to simulation ``s`` — no dynamic allocation, no host control flow.
+  * One simulation expands exactly one node, so node ids are pre-assigned
+    — no dynamic allocation, no host control flow. The sim loop runs in
+    PASSES of ``leaf_batch`` simulations: each pass selects that many
+    leaves per env (virtual visits between descents keep lanes apart),
+    expands them all in one batched env.step, and evaluates all
+    E·leaf_batch leaves in ONE network forward — the reference evaluates
+    leaves one state at a time through ``session.run`` (batch size 1, its
+    key inefficiency, SURVEY.md §3.1). leaf_batch=1 is exactly sequential
+    MCTS.
   * Selection is a vmapped per-env ``lax.while_loop`` recording each descent
     path into fixed ``[depth_limit]`` buffers; the carried state is
     O(depth), not the tree (see _select_one's perf note for why vmap beats
     a batch-level loop here).
-  * Expansion steps ALL envs' leaf states in one batched env.step; a leaf
-    that is already terminal re-uses its node (the step is a frozen no-op).
-  * Leaf evaluation batches all E envs into one network forward per
-    simulation — the reference evaluates leaves one state at a time through
-    ``session.run`` (batch size 1, its key inefficiency, SURVEY.md §3.1).
   * Backup is a single batched scatter-add along the recorded paths with
     sign-alternating values — no while_loop over tree-sized carries.
+  * ``branch_cap`` switches to the slot-indexed top-C tree layout in
+    mcts/search_capped.py (the production perf configuration).
 
 Conventions are documented (and mirrored in NumPy) in mcts/reference.py;
 tests/test_mcts.py asserts equal visit counts on frozen evaluators.

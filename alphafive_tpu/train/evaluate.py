@@ -113,7 +113,8 @@ def evaluate_vs(env_cfg: EnvConfig, mcts_cfg: MCTSConfig,
                 key: jax.Array,
                 mcts_a: Optional[MCTSConfig] = None,
                 mcts_b: Optional[MCTSConfig] = None,
-                opening_plies: int = 0) -> Dict[str, float]:
+                opening_plies: int = 0,
+                plies_per_call: int = 2) -> Dict[str, float]:
     """A plays black in half the games, white in the other half.
 
     Returns win/draw/loss counts and score for A (host floats).
@@ -139,10 +140,12 @@ def evaluate_vs(env_cfg: EnvConfig, mcts_cfg: MCTSConfig,
             if opening_plies else None)
 
     fa = play_games(env_cfg, mcts_cfg, eval_a, eval_b, sims_a, sims_b,
-                    half, k1, mcts_black=mcts_a, mcts_white=mcts_b,
+                    half, k1, plies_per_call,
+                    mcts_black=mcts_a, mcts_white=mcts_b,
                     init_state=init)   # A is black
     fb = play_games(env_cfg, mcts_cfg, eval_b, eval_a, sims_b, sims_a,
-                    half, k2, mcts_black=mcts_b, mcts_white=mcts_a,
+                    half, k2, plies_per_call,
+                    mcts_black=mcts_b, mcts_white=mcts_a,
                     init_state=init)   # A is white
     wa = np.asarray(fa.winner)
     wb = np.asarray(fb.winner)

@@ -50,12 +50,19 @@ def train(cfg: RunConfig, workdir: Optional[str] = None,
     key = jax.random.key(cfg.train.seed)
     key, kinit = jax.random.split(key)
     carry = parallel.init_carry(cfg, kinit, mesh)
-    ladder = LadderState()
+    ladder = LadderState(max_rollouts=cfg.train.max_anchor_rollouts)
     start_iter = 0
 
     if resume and mgr is not None and mgr.latest_step() is not None:
         start_iter, carry, key, cfg_saved, ladder = ckpt.restore(mgr, carry)
         assert cfg_saved.env == cfg.env, "resume with a different env config"
+        # the CURRENT config's anchor cap wins over a checkpointed ladder
+        # that already promoted past it (e.g. after tightening the cap to
+        # keep eval device calls under the watchdog limit)
+        ladder.max_rollouts = min(ladder.max_rollouts,
+                                  cfg.train.max_anchor_rollouts)
+        while ladder.level > 0 and ladder.anchor_rollouts > ladder.max_rollouts:
+            ladder.level -= 1
         log.log({"kind": "resume", "iter": start_iter})
 
     iteration = parallel.make_train_iteration(cfg, mesh)
@@ -82,11 +89,25 @@ def train(cfg: RunConfig, workdir: Optional[str] = None,
             "sims_per_s": env_steps * sims / dt,
         })
 
-        if cfg.train.eval_every_iters and (it + 1) % cfg.train.eval_every_iters == 0:
+        # The eval key is split BEFORE the checkpoint so the saved key
+        # already reflects it (resume stays bit-reproducible), and the
+        # checkpoint lands BEFORE the eval gate: big-anchor eval programs
+        # are the longest device calls in the pipeline and the likeliest
+        # watchdog victims on remote-TPU runtimes — if eval dies, the
+        # resume must start AFTER this iteration, not 25 iterations back
+        # (a crash-loop observed in practice: eval at iter 299 kept
+        # resetting the run to 275).
+        do_eval = (cfg.train.eval_every_iters
+                   and (it + 1) % cfg.train.eval_every_iters == 0)
+        if do_eval:
             # dedicated split keeps the eval stream decorrelated from the
             # iteration keys (fold_in(key, it) on a key that is also split
             # for the next iteration risks correlated streams)
             key, keval = jax.random.split(key)
+        if mgr is not None and (it + 1) % cfg.train.checkpoint_every_iters == 0:
+            ckpt.save(mgr, it + 1, carry, key, cfg, ladder)
+            log.log({"kind": "checkpoint", "iter": it + 1})
+        if do_eval:
             elo = run_eval(cfg, carry, ladder, it, keval, log)
             # best-model tracking keyed on eval rating (SURVEY.md §5.4)
             best_so_far = max((h["elo"] for h in ladder.history[:-1]),
@@ -96,9 +117,6 @@ def train(cfg: RunConfig, workdir: Optional[str] = None,
                                             max_to_keep=1),
                           it + 1, carry, key, cfg, ladder)
                 log.log({"kind": "best", "iter": it + 1, "elo": elo})
-        if mgr is not None and (it + 1) % cfg.train.checkpoint_every_iters == 0:
-            ckpt.save(mgr, it + 1, carry, key, cfg, ladder)
-            log.log({"kind": "checkpoint", "iter": it + 1})
 
     if mgr is not None:
         ckpt.save(mgr, total, carry, key, cfg, ladder)
@@ -122,7 +140,10 @@ def run_eval(cfg: RunConfig, carry, ladder: LadderState, it: int,
         cfg.env, cfg.mcts, net_eval, anchor,
         eval_sims, ladder.anchor_rollouts,
         cfg.train.eval_games, jax.random.fold_in(key, it),
-        mcts_a=cfg.mcts, mcts_b=MCTSConfig())
+        mcts_a=cfg.mcts, mcts_b=MCTSConfig(),
+        # one ply per device call once anchor searches get big: keeps each
+        # call under remote-TPU watchdog limits (SURVEY.md §5.3)
+        plies_per_call=1 if ladder.anchor_rollouts >= 3_200 else 2)
     elo = update_ladder(ladder, result, it)
     log.log({"kind": "eval", "iter": it, **result, "elo": elo,
              "anchor_rollouts": ladder.history[-1]["anchor_rollouts"],

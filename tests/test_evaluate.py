@@ -69,6 +69,33 @@ def test_ladder_checkpoint_roundtrip_keeps_max_rollouts():
     assert _ladder_from_dict(old).max_rollouts == elo.LadderState().max_rollouts
 
 
+def test_random_openings_and_per_side_configs():
+    """Opening randomization produces distinct live boards with black to
+    move; per-side MCTS configs actually reach each player's search."""
+    import dataclasses
+    from alphafive_tpu.train.evaluate import random_openings
+
+    env_cfg = EnvConfig(board_size=7, n_in_row=5)
+    st = random_openings(env_cfg, 8, 4, jax.random.key(0))
+    assert not bool(np.asarray(st.done).any())
+    assert (np.asarray(st.move_count) == 4).all()
+    assert (np.asarray(st.to_play) == 1).all()
+    boards = np.asarray(st.board)
+    assert len({b.tobytes() for b in boards}) > 1  # distinct openings
+
+    # per-side configs: a 1-sim side vs a 64-sim side (same uniform
+    # evaluator) — the budgeted side must dominate, proving the
+    # config/budget plumbing reaches the right player
+    u = uniform_evaluator(env_cfg)
+    base = MCTSConfig()
+    res = evaluate_vs(env_cfg, base, u, u, 64, 1, 8, jax.random.key(1),
+                      mcts_a=dataclasses.replace(base, max_depth=16),
+                      mcts_b=dataclasses.replace(base, max_depth=2),
+                      opening_plies=4)
+    assert res["games"] == 8
+    assert res["score"] >= 0.6, res
+
+
 def test_elo_math():
     assert elo.performance_elo(0.5, 0.0) == pytest.approx(0.0)
     assert elo.performance_elo(0.75, 0.0) == pytest.approx(190.85, abs=0.1)
