@@ -175,13 +175,21 @@ def _select_one(tree_n, tree_w, tree_p, tree_child, tree_done, vroot,
         legal = p_signed >= 0
         w_row = tree_w[cur].astype(jnp.float32) * w_inv_scale
         p_row = jnp.maximum(p_signed, 0.0)
-        nf = tree_n[cur].astype(jnp.float32)
-        nf = jnp.where(cur == 0, nf + vroot, nf)  # virtual visits (pass)
+        nf_real = tree_n[cur].astype(jnp.float32)
+        nf = jnp.where(cur == 0, nf_real + vroot, nf_real)  # virtual visits
         score = _puct_scores_n(nf, w_row, p_row, legal, c_puct)
         # forced playouts (KataGo §3.4, config.forced_playouts_k): at the
-        # root, a visited child still owed forced visits outranks everything
-        forced = (legal & (depth == 0) & (nf > 0)
-                  & (nf * nf < forced_k * p_row * jnp.sum(nf)))
+        # root, a visited child still owed forced visits outranks
+        # everything. The gate uses REAL visits (KataGo's definition): a
+        # child with only a virtual visit must not become force-selected,
+        # or every lane of a pass would funnel onto it — the opposite of
+        # what virtual visits are for. (In "path" virtual mode real and
+        # virtual visits share the array, so the gate is approximate
+        # within a pass; presets combining forced playouts with
+        # leaf_batch>1 should prefer the branch-capped search, which keeps
+        # them separate.)
+        forced = (legal & (depth == 0) & (nf_real > 0)
+                  & (nf_real * nf_real < forced_k * p_row * jnp.sum(nf_real)))
         score = jnp.where(forced, jnp.inf, score)
         a = jnp.argmax(score).astype(jnp.int32)
         ch = tree_child[cur, a].astype(jnp.int32)

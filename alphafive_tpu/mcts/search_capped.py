@@ -59,23 +59,25 @@ class CappedTree:
     node_board: jnp.ndarray
 
 
-def _top_c(p_masked: jnp.ndarray, c: int, prior_dtype):
-    """(slot priors [..., C], slot actions i16[..., C]) from [..., A] priors.
+def _top_c(p_signed: jnp.ndarray, c: int, prior_dtype):
+    """(slot priors [..., C], slot actions i16[..., C]) from [..., A]
+    SIGNED priors (legal >= 0, illegal = -1 — the sign trick the exact
+    search uses, so selection needs no separate legality array).
 
-    Slots holding no usable child (pad, illegal, or underflowed-to-zero
-    prior) store -1 in the prior — the same sign trick the exact search
-    uses, so selection needs no separate legality array.
+    Legal moves sort above illegal ones even at prior exactly 0.0 (a
+    softmax underflow must stay selectable-by-Q when slots are free, as
+    in the uncapped search); pad slots keep -1.
 
     When the cap actually binds (c < A) the TPU-native `approx_max_k`
     (recall ≈ 0.98) replaces the sort-based exact top_k: occasionally
     swapping the ~64th-best prior for the ~66th is noise next to the cap
     itself. c == A (the parity/equality tests) stays exact."""
-    if c < p_masked.shape[-1]:
-        vals, idx = jax.lax.approx_max_k(p_masked.astype(jnp.float32), c,
+    if c < p_signed.shape[-1]:
+        vals, idx = jax.lax.approx_max_k(p_signed.astype(jnp.float32), c,
                                          recall_target=0.98)
     else:
-        vals, idx = jax.lax.top_k(p_masked, c)
-    vals = jnp.where(vals > 0, vals, -1.0).astype(prior_dtype)
+        vals, idx = jax.lax.top_k(p_signed, c)
+    vals = jnp.where(vals >= 0, vals, -1.0).astype(prior_dtype)
     return vals, idx.astype(jnp.int16)
 
 
@@ -116,10 +118,12 @@ def _select_one(tree_n, tree_w, tree_p, tree_child, tree_done,
         legal = p_signed >= 0
         w_row = tree_w[cur].astype(jnp.float32) * w_inv_scale
         p_row = jnp.maximum(p_signed, 0.0)
-        nf = tree_n[cur].astype(jnp.float32) + virt_row(cur)
+        nf_real = tree_n[cur].astype(jnp.float32)
+        nf = nf_real + virt_row(cur)
         score = _puct_scores_n(nf, w_row, p_row, legal, c_puct)
-        forced = (legal & (depth == 0) & (nf > 0)
-                  & (nf * nf < forced_k * p_row * jnp.sum(nf)))
+        # forced-playout gate on REAL visits only (see search._select_one)
+        forced = (legal & (depth == 0) & (nf_real > 0)
+                  & (nf_real * nf_real < forced_k * p_row * jnp.sum(nf_real)))
         score = jnp.where(forced, jnp.inf, score)
         s = jnp.argmax(score).astype(jnp.int32)
         ch = tree_child[cur, s].astype(jnp.int32)
@@ -196,7 +200,7 @@ def run_mcts_capped(
         eps = jnp.float32(mcts_cfg.dirichlet_eps)
         root_p = (1.0 - eps) * root_p + eps * noise
     root_slot_p, root_slot_act = _top_c(
-        jnp.where(root_legal, root_p, 0.0), c, prior_dtype)
+        jnp.where(root_legal, root_p, -1.0), c, prior_dtype)
     tree = tree.replace(
         p=tree.p.at[:, 0].set(root_slot_p),
         cand_act=tree.cand_act.at[:, 0].set(root_slot_act))
@@ -283,7 +287,7 @@ def run_mcts_capped(
         child_legal = stepped.board == 0
         child_p = masked_softmax(logits, child_legal)
         slot_p, slot_act = _top_c(
-            jnp.where(child_legal, child_p, 0.0), c, prior_dtype)
+            jnp.where(child_legal, child_p, -1.0), c, prior_dtype)
 
         upd = lambda arr, u: jax.lax.dynamic_update_slice_in_dim(
             arr, u, base, axis=1)

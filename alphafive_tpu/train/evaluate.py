@@ -21,7 +21,6 @@ parity, so "whose turn" is a scalar `lax.cond` on the ply index.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Callable, Dict, Optional
 
@@ -126,14 +125,12 @@ def evaluate_vs(env_cfg: EnvConfig, mcts_cfg: MCTSConfig,
         raise ValueError(
             f"num_games must be even and >= 2 (got {num_games}): each side "
             "plays both colors the same number of times")
-    # Evaluation is a measurement: use exact float32 value sums even when a
-    # perf preset's search config asks for int16 fixed-point (whose budget
-    # cap the big pure-MCTS anchor searches would exceed anyway — ADVICE.md
-    # round-1 high finding).
-    exact = lambda c: dataclasses.replace(c, value_dtype="float32")
-    mcts_cfg = exact(mcts_cfg)
-    mcts_a = exact(mcts_a) if mcts_a is not None else mcts_cfg
-    mcts_b = exact(mcts_b) if mcts_b is not None else mcts_cfg
+    # Per-side configs are honored VERBATIM (A/B experiments on any search
+    # knob, including value_dtype, must actually exercise it); int16 value
+    # sums with budgets beyond their range fall back to exact float32
+    # inside run_mcts itself (ADVICE.md round-1 high finding).
+    mcts_a = mcts_a if mcts_a is not None else mcts_cfg
+    mcts_b = mcts_b if mcts_b is not None else mcts_cfg
     half = num_games // 2
     k1, k2, ko = jax.random.split(key, 3)
     init = (random_openings(env_cfg, half, opening_plies, ko)

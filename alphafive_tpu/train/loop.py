@@ -9,6 +9,9 @@ checkpoints full state (train/checkpoint.py).
 
 from __future__ import annotations
 
+import dataclasses
+import json
+import os
 import time
 from typing import Optional
 
@@ -56,8 +59,16 @@ def train(cfg: RunConfig, workdir: Optional[str] = None,
     if resume and mgr is not None and mgr.latest_step() is not None:
         start_iter, carry, key, cfg_saved, ladder = ckpt.restore(mgr, carry)
         assert cfg_saved.env == cfg.env, "resume with a different env config"
-        # the CURRENT config's anchor cap wins over a checkpointed ladder
-        # that already promoted past it (e.g. after tightening the cap to
+        # evals run AFTER the checkpoint within an iteration, so their
+        # ladder mutations (history entry, promotion) are persisted to a
+        # cheap sidecar (below); prefer it when it is at least as new as
+        # the checkpoint, or a crash between eval and the next checkpoint
+        # would stall promotions and corrupt best-model tracking
+        side = _read_ladder_sidecar(workdir)
+        if side is not None and side[0] >= start_iter:
+            ladder = side[1]
+        # the CURRENT config's anchor cap wins over a saved ladder that
+        # already promoted past it (e.g. after tightening the cap to
         # keep eval device calls under the watchdog limit)
         ladder.max_rollouts = min(ladder.max_rollouts,
                                   cfg.train.max_anchor_rollouts)
@@ -109,6 +120,8 @@ def train(cfg: RunConfig, workdir: Optional[str] = None,
             log.log({"kind": "checkpoint", "iter": it + 1})
         if do_eval:
             elo = run_eval(cfg, carry, ladder, it, keval, log)
+            if workdir and primary:
+                _write_ladder_sidecar(workdir, it + 1, ladder)
             # best-model tracking keyed on eval rating (SURVEY.md §5.4)
             best_so_far = max((h["elo"] for h in ladder.history[:-1]),
                               default=-1e9)
@@ -121,6 +134,25 @@ def train(cfg: RunConfig, workdir: Optional[str] = None,
     if mgr is not None:
         ckpt.save(mgr, total, carry, key, cfg, ladder)
     return carry, ladder
+
+
+def _write_ladder_sidecar(workdir: str, iteration: int,
+                          ladder: LadderState) -> None:
+    tmp = f"{workdir}/ladder.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"iter": iteration,
+                   "ladder": dataclasses.asdict(ladder)}, f)
+    os.replace(tmp, f"{workdir}/ladder.json")
+
+
+def _read_ladder_sidecar(workdir: Optional[str]):
+    path = f"{workdir}/ladder.json" if workdir else None
+    if not path or not os.path.exists(path):
+        return None
+    from alphafive_tpu.train.checkpoint import _ladder_from_dict
+    with open(path) as f:
+        d = json.load(f)
+    return int(d["iter"]), _ladder_from_dict(d["ladder"])
 
 
 def run_eval(cfg: RunConfig, carry, ladder: LadderState, it: int,

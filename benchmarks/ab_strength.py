@@ -28,11 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def apply_mcts_overrides(cfg, pairs):
+    from alphafive_tpu.cli import _parse_override_value
+
     for ov in pairs:
         k, _, raw = ov.partition("=")
-        old = getattr(cfg, k)
-        typ = type(old) if old is not None else int
-        val = (raw.lower() in ("1", "true")) if typ is bool else typ(raw)
+        val = _parse_override_value(raw, getattr(cfg, k))
         cfg = dataclasses.replace(cfg, **{k: val})
     return cfg
 

@@ -274,6 +274,21 @@ def test_multidevice_presets_compile_and_step(preset):
         np.testing.assert_array_equal(shards[0], s)
 
 
+def test_ladder_sidecar_roundtrip(tmp_path):
+    """Eval-time ladder mutations persist via the sidecar (evals run
+    after the in-iteration checkpoint, so a crash in between must not
+    lose promotions/history — round-2 review finding)."""
+    from alphafive_tpu.train.loop import (_read_ladder_sidecar,
+                                          _write_ladder_sidecar)
+    from alphafive_tpu.utils.elo import LadderState
+
+    assert _read_ladder_sidecar(str(tmp_path)) is None
+    lad = LadderState(level=3, history=[{"step": 1, "elo": 42.0}])
+    _write_ladder_sidecar(str(tmp_path), 50, lad)
+    it, back = _read_ladder_sidecar(str(tmp_path))
+    assert it == 50 and back == lad
+
+
 def test_checkpoint_roundtrip(tiny, tmp_path):
     from alphafive_tpu.train import checkpoint as ckpt
     from alphafive_tpu.utils.elo import LadderState
