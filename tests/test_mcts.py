@@ -227,6 +227,19 @@ def test_branch_cap_full_width_matches_exact(lb):
                                np.asarray(rb.root_value), rtol=1e-5)
 
 
+def test_top_c_keeps_zero_prior_legal_moves():
+    """A legal move whose softmax prior underflowed to exactly 0.0 must
+    stay selectable (prior >= 0) when slots are free; pads/illegal get -1
+    (round-2 review finding: cap must not make legal moves unreachable)."""
+    from alphafive_tpu.mcts.search_capped import _top_c
+
+    p_signed = jnp.array([[0.5, 0.0, -1.0, 0.3, -1.0]])
+    vals, idx = _top_c(p_signed, 5, jnp.float32)
+    v, i = np.asarray(vals)[0], np.asarray(idx)[0]
+    assert (v[:3] >= 0).all() and set(i[:3]) == {0, 1, 3}
+    assert (v[3:] == -1).all()  # illegal stay pads
+
+
 def test_branch_cap_small_budget_and_tactics():
     """A small cap spends the full budget on legal moves and still finds
     the forced win (it has the highest prior under the uniform evaluator
