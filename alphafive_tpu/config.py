@@ -334,7 +334,10 @@ def train_15x15() -> RunConfig:
         train=TrainConfig(num_envs=256, selfplay_plies_per_iter=32,
                           learner_steps_per_iter=4,
                           kl_stop_factor=4.0,
-                          eval_every_iters=25, eval_games=32,
+                          # big-anchor evals cost ~15 min each on this
+                          # chip; a sparse cadence keeps wall-clock on
+                          # self-play once the ladder tops out
+                          eval_every_iters=100, eval_games=32,
                           eval_simulations=240,
                           max_anchor_rollouts=6_400,
                           checkpoint_every_iters=25,
