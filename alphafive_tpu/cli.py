@@ -236,8 +236,10 @@ def _cmd_eval(cfg, args):
         args.anchor_rollouts,
         args.games or cfg.train.eval_games,
         jax.random.key(cfg.train.seed + 1),
-        # canonical exact anchor (preset-independent Elo scale)
-        mcts_a=cfg.mcts, mcts_b=MCTSConfig())
+        # canonical exact anchor (preset-independent Elo scale); big
+        # anchors advance one ply per device call (watchdog limits)
+        mcts_a=cfg.mcts, mcts_b=MCTSConfig(),
+        plies_per_call=1 if args.anchor_rollouts >= 3_200 else 2)
     result["anchor_rollouts"] = args.anchor_rollouts
     result["elo_vs_anchor"] = performance_elo(result["score"], 0.0)
     print(_json.dumps(result))
