@@ -116,12 +116,14 @@ class MCTSConfig:
     # Branch cap: when set, each node tracks only its top-`branch_cap`
     # children by prior (slot-indexed edge arrays [E, NN, C] instead of
     # action-indexed [E, NN, A]). Cuts the tree's scatter/relayout traffic
-    # — the measured throughput bottleneck — by A/C (3.5x at 15x15 with
-    # C=64, 5.6x at 19x19). Approximation: a node's children outside its
-    # top-C priors are never searched (KataGo-style policy pruning; at
-    # C=64 and 400 sims the uncapped search visits far fewer than 64
-    # children per node, so equal-budget strength is unaffected — A/B in
-    # docs/PERFORMANCE.md). None = exact full-width (parity tests).
+    # — the measured throughput bottleneck — by A/C. Approximation: a
+    # node's children outside its top-C priors are never searched
+    # (KataGo-style policy pruning). How tight the cap can go depends on
+    # POLICY QUALITY: when the net confidently misranks a defense below
+    # slot C, the capped search can never find it. Measured at 15×15/400
+    # sims with the bundled net: C=64 costs ~150 Elo at equal budget,
+    # C=128 is Elo-neutral (docs/PERFORMANCE.md) — perf presets use 128.
+    # None = exact full-width (parity tests).
     branch_cap: Optional[int] = None
 
 
@@ -236,7 +238,7 @@ def chip_15x15() -> RunConfig:
         net=NetConfig(blocks=4, channels=64),
         mcts=MCTSConfig(num_simulations=400, max_depth=64,
                         prior_dtype="bfloat16", value_dtype="int16",
-                        leaf_batch=8, branch_cap=64),
+                        leaf_batch=8, branch_cap=128),
         train=TrainConfig(num_envs=256, selfplay_plies_per_iter=32),
     )
 
@@ -250,7 +252,7 @@ def host_15x15() -> RunConfig:
         net=NetConfig(blocks=4, channels=64),
         mcts=MCTSConfig(num_simulations=400, max_depth=64,
                         prior_dtype="bfloat16", value_dtype="int16",
-                        leaf_batch=8, branch_cap=64),
+                        leaf_batch=8, branch_cap=128),
         replay=ReplayConfig(capacity=500_000, batch_size=2_048,
                             min_fill=16_384),
         train=TrainConfig(num_envs=2_048, selfplay_plies_per_iter=16,
@@ -268,7 +270,7 @@ def pod_v5p16() -> RunConfig:
         net=NetConfig(blocks=4, channels=64),
         mcts=MCTSConfig(num_simulations=400, max_depth=64,
                         prior_dtype="bfloat16", value_dtype="int16",
-                        leaf_batch=8, branch_cap=64),
+                        leaf_batch=8, branch_cap=128),
         replay=ReplayConfig(capacity=1_000_000, batch_size=4_096,
                             min_fill=32_768),
         train=TrainConfig(num_envs=8_192, selfplay_plies_per_iter=16,
@@ -286,7 +288,7 @@ def renju_19x19() -> RunConfig:
         net=NetConfig(blocks=10, channels=128),
         mcts=MCTSConfig(num_simulations=400, max_depth=64,
                         prior_dtype="bfloat16", value_dtype="int16",
-                        leaf_batch=8, branch_cap=64),
+                        leaf_batch=8, branch_cap=128),
         replay=ReplayConfig(capacity=300_000, batch_size=1_024,
                             min_fill=8_192),
         train=TrainConfig(num_envs=512, selfplay_plies_per_iter=16),
@@ -327,7 +329,7 @@ def train_15x15() -> RunConfig:
         net=NetConfig(blocks=4, channels=64),
         mcts=MCTSConfig(num_simulations=240, max_depth=64,
                         temperature_moves=12, prior_dtype="bfloat16",
-                        value_dtype="int16", leaf_batch=8, branch_cap=64,
+                        value_dtype="int16", leaf_batch=8, branch_cap=128,
                         small_simulations=64),
         replay=ReplayConfig(capacity=400_000, batch_size=512,
                             min_fill=8_192),
