@@ -45,8 +45,9 @@ from alphafive_tpu.mcts.search import (Evaluator, SearchResult,
 @struct.dataclass
 class CappedTree:
     # edge stats [E, NN, C] (slot-indexed)
-    n: jnp.ndarray         # uint16 visit counts
-    w: jnp.ndarray         # value sums (value_dtype)
+    n: jnp.ndarray         # visit counts: u16, OR s32 packed
+    #                        (value_sum << 16 | visits) in int16 mode
+    w: jnp.ndarray         # value sums (value_dtype); None when packed
     p: jnp.ndarray         # priors (prior_dtype); pads/illegal = -1
     child: jnp.ndarray     # int16 child node index, -1 if unexpanded
     cand_act: jnp.ndarray  # int16 action id per slot
@@ -81,13 +82,22 @@ def _top_c(p_signed: jnp.ndarray, c: int, prior_dtype):
     return vals, idx.astype(jnp.int16)
 
 
-def _select_one(tree_n, tree_w, tree_p, tree_child, tree_done,
+def _select_one(stat_a, stat_b, tree_p, tree_child, tree_done,
                 pns_prev, pas_prev, deps_prev,
-                c_puct, depth_limit, w_inv_scale, forced_k, num_slots):
+                c_puct, depth_limit, w_inv_scale, forced_k, num_slots,
+                packed):
     """Single-env PUCT descent over slot-indexed rows (vmapped by caller).
 
     Identical control flow to search._select_one; rows are [C]-wide and
     the recorded path holds SLOTS, not actions.
+
+    Stats come either as separate (n u16, w) arrays (`packed=False`, the
+    exact mode) or as ONE s32 array with the visit count in the low 16
+    bits and the int16 fixed-point value sum in the high 16
+    (`packed=True`, the production int16 mode): one row gather and one
+    backup scatter instead of two — the scatters were the largest
+    non-matmul ops in the pass profile. In packed mode `stat_b` is unused
+    (dead-code-eliminated), so only one gather runs per step.
 
     Virtual visits are COMPUTED, not scattered: earlier lanes' recorded
     paths (pns_prev/pas_prev [LB, D], deps_prev [LB]; unfinished lanes
@@ -116,9 +126,14 @@ def _select_one(tree_n, tree_w, tree_p, tree_child, tree_done,
         revisit = tree_done[cur] | (depth >= d)
         p_signed = tree_p[cur].astype(jnp.float32)
         legal = p_signed >= 0
-        w_row = tree_w[cur].astype(jnp.float32) * w_inv_scale
+        if packed:
+            row = stat_a[cur]                              # s32 [C]
+            nf_real = (row & 0xFFFF).astype(jnp.float32)
+            w_row = (row >> 16).astype(jnp.float32) * w_inv_scale
+        else:
+            nf_real = stat_a[cur].astype(jnp.float32)
+            w_row = stat_b[cur].astype(jnp.float32) * w_inv_scale
         p_row = jnp.maximum(p_signed, 0.0)
-        nf_real = tree_n[cur].astype(jnp.float32)
         nf = nf_real + virt_row(cur)
         score = _puct_scores_n(nf, w_row, p_row, legal, c_puct)
         # forced-playout gate on REAL visits only (see search._select_one)
@@ -170,9 +185,20 @@ def run_mcts_capped(
 
     key, knoise, keval = jax.random.split(key, 3)
 
+    # Production int16 mode packs (visit count | fixed-point value sum)
+    # into ONE s32 array: one row gather per select step and one backup
+    # scatter per pass instead of two each (the backup scatters were the
+    # largest non-matmul ops in the pass profile). n increments (+1, low
+    # 16 bits) never carry into the value field (n <= 511); value adds are
+    # plain two's-complement adds shifted left 16.
+    packed = fixed_w
+    if packed:
+        stats = dict(n=jnp.zeros((e, nn, c), jnp.int32), w=None)
+    else:
+        stats = dict(n=jnp.zeros((e, nn, c), jnp.uint16),
+                     w=jnp.zeros((e, nn, c), value_dtype))
     tree = CappedTree(
-        n=jnp.zeros((e, nn, c), jnp.uint16),
-        w=jnp.zeros((e, nn, c), value_dtype),
+        **stats,
         p=jnp.full((e, nn, c), -1.0, prior_dtype),
         child=jnp.full((e, nn, c), -1, jnp.int16),
         cand_act=jnp.zeros((e, nn, c), jnp.int16),
@@ -208,7 +234,8 @@ def run_mcts_capped(
     earange = jnp.arange(e)
     select_v = jax.vmap(
         _select_one,
-        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None, None, None))
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0,
+                 None, None, None, None, None, None))
 
     lb = max(1, int(mcts_cfg.leaf_batch))
     while sims % lb:
@@ -226,9 +253,9 @@ def run_mcts_capped(
         def one_descent(j, cst):
             lps, slots, deps, pns, pas = cst
             lp, sel, depth, pn, pa = select_v(
-                tree.n, tree.w, tree.p, tree.child, tree.node_done,
-                pns, pas, deps,
-                c_puct, d, 1.0 / w_scale, forced_k, c)
+                tree.n, tree.n if packed else tree.w, tree.p, tree.child,
+                tree.node_done, pns, pas, deps,
+                c_puct, d, 1.0 / w_scale, forced_k, c, packed)
             return (lps.at[:, j].set(lp), slots.at[:, j].set(sel),
                     deps.at[:, j].set(depth),
                     pns.at[:, j].set(pn), pas.at[:, j].set(pa))
@@ -308,22 +335,32 @@ def run_mcts_capped(
         exp_ = (deps[:, :, None] - dn).astype(jnp.int32)
         sign = jnp.where(exp_ % 2 == 0, 1.0, -1.0)
         vals = jnp.where(on_path, sign * leaf_value[:, :, None], 0.0)
-        if fixed_w:
-            vals = jnp.round(vals * w_scale).astype(jnp.int16)
         eidx3 = earange[:, None, None]
-        tree = tree.replace(
-            n=tree.n.at[eidx3, pns, pas].add(on_path.astype(jnp.uint16)),
-            w=tree.w.at[eidx3, pns, pas].add(vals))
+        if packed:
+            # one combined (value << 16) + visit scatter per pass
+            delta = ((jnp.round(vals * w_scale).astype(jnp.int32) << 16)
+                     + on_path.astype(jnp.int32))
+            tree = tree.replace(n=tree.n.at[eidx3, pns, pas].add(delta))
+        else:
+            if fixed_w:
+                vals = jnp.round(vals * w_scale).astype(jnp.int16)
+            tree = tree.replace(
+                n=tree.n.at[eidx3, pns, pas].add(on_path.astype(jnp.uint16)),
+                w=tree.w.at[eidx3, pns, pas].add(vals))
         return tree, key
 
     tree, _ = jax.lax.fori_loop(0, passes, pass_body, (tree, key))
 
     # scatter slot visit counts back onto the action space
-    n0 = tree.n[:, 0, :].astype(jnp.float32)            # [E, C]
+    if packed:
+        n0 = (tree.n[:, 0, :] & 0xFFFF).astype(jnp.float32)     # [E, C]
+        w_root = (tree.n[:, 0, :] >> 16).astype(jnp.float32).sum(-1) / w_scale
+    else:
+        n0 = tree.n[:, 0, :].astype(jnp.float32)                # [E, C]
+        w_root = tree.w[:, 0, :].astype(jnp.float32).sum(-1) / w_scale
     act0 = tree.cand_act[:, 0, :].astype(jnp.int32)     # [E, C]
     visits = jnp.zeros((e, a), jnp.float32).at[
         earange[:, None], act0].add(n0)                 # pads add 0
     n_sum = n0.sum(-1)
-    w_root = tree.w[:, 0, :].astype(jnp.float32).sum(-1) / w_scale
     root_value = jnp.where(n_sum > 0, w_root / jnp.maximum(n_sum, 1.0), 0.0)
     return SearchResult(visits=visits, root_value=root_value, priors=root_p)

@@ -260,6 +260,39 @@ def test_branch_cap_small_budget_and_tactics():
     assert int(np.argmax(v)) in {5, 9}, v.reshape(5, 5)
 
 
+def test_packed_int16_capped_close_to_f32():
+    """The branch-capped search's PACKED stats (s32 = value<<16 | visits,
+    int16 mode) must track the same capped search with exact f32 sums
+    closely — same tolerance as the unpacked int16 test."""
+    import dataclasses
+    from alphafive_tpu.env import vector as _v
+    from tests.test_pallas_select import frozen_net_evaluator
+
+    env_cfg = EnvConfig(board_size=7, n_in_row=4)
+    base = MCTSConfig(num_simulations=64, leaf_batch=4, branch_cap=16)
+    packed = dataclasses.replace(base, value_dtype="int16")
+    ev = frozen_net_evaluator(env_cfg, jax.random.key(21))
+    state = _v.init(env_cfg, 4)
+    key = jax.random.key(22)
+    for _ in range(4):
+        key, k = jax.random.split(key)
+        legal = state.board == 0
+        acts = jax.random.categorical(
+            k, jnp.where(legal, 0.0, -jnp.inf), axis=-1).astype(jnp.int32)
+        state = _v.step(env_cfg, state, acts)
+
+    ra = jax.jit(functools.partial(
+        search.run_mcts, env_cfg, base, ev, add_noise=False))(state, key)
+    rb = jax.jit(functools.partial(
+        search.run_mcts, env_cfg, packed, ev, add_noise=False))(state, key)
+    assert float(np.asarray(ra.visits).sum(-1).min()) == 64
+    assert float(np.asarray(rb.visits).sum(-1).min()) == 64
+    diff = np.abs(np.asarray(ra.visits) - np.asarray(rb.visits)).sum(-1)
+    assert (diff <= 10).all(), diff
+    np.testing.assert_allclose(np.asarray(ra.root_value),
+                               np.asarray(rb.root_value), atol=0.06)
+
+
 def test_int16_value_sums_close_to_f32():
     """value_dtype="int16" (1/64 fixed-point W) must track the exact search
     closely — NONZERO leaf values, so the scaling paths are exercised (a
