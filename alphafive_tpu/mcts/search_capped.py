@@ -100,21 +100,28 @@ def _select_one(stat_a, stat_b, tree_p, tree_child, tree_done,
     (dead-code-eliminated), so only one gather runs per step.
 
     Virtual visits are COMPUTED, not scattered: earlier lanes' recorded
-    paths (pns_prev/pas_prev [LB, D], deps_prev [LB]; unfinished lanes
+    paths (pns_prev/pas_prev [LB, W], deps_prev [LB]; unfinished lanes
     have depth 0 and contribute nothing) are compared against the current
-    node inside the loop body — a [LB, D, C] one-hot reduction on the VPU.
+    node inside the loop body — a [LB, W, C] one-hot reduction on the VPU.
+    The caller passes only the first W = min(D, 32) path slots: this
+    reduction is the most expensive op of the whole search, its cost is
+    ∝ W, and lanes whose paths agree for 32 plies and diverge later are
+    vanishingly rare — if it happens they merely re-expand the same leaf
+    (deduped at expansion; a wasted simulation, not an error).
     This keeps the big tree arrays IMMUTABLE for the whole select phase
     (their scatter→gather relayout happens once per pass) while preserving
     full-path virtual-visit semantics: bit-identical to the scatter
     implementation in mcts/search.py (test_branch_cap_full_width_matches_
-    exact pins this at leaf_batch 4)."""
+    exact pins this at leaf_batch 4, whose descents stay far shallower
+    than the window)."""
     d = depth_limit
-    dmask = jnp.arange(d)[None, :] < deps_prev[:, None]        # [LB, D]
+    dmask = (jnp.arange(pns_prev.shape[1])[None, :]
+             < deps_prev[:, None])                             # [LB, W]
 
     def virt_row(cur):
-        match = dmask & (pns_prev == cur)                      # [LB, D]
+        match = dmask & (pns_prev == cur)                      # [LB, W]
         onehot = (pas_prev[:, :, None]
-                  == jnp.arange(num_slots)[None, None, :])     # [LB, D, C]
+                  == jnp.arange(num_slots)[None, None, :])     # [LB, W, C]
         return jnp.sum(match[:, :, None] & onehot,
                        axis=(0, 1)).astype(jnp.float32)        # [C]
 
@@ -250,11 +257,13 @@ def run_mcts_capped(
         # select lb leaves; full-path virtual visits computed from the
         # already-recorded path buffers (big tree arrays stay immutable
         # for the whole select phase — see _select_one)
+        vw = min(d, 32)  # virtual-visit comparison window (see _select_one)
+
         def one_descent(j, cst):
             lps, slots, deps, pns, pas = cst
             lp, sel, depth, pn, pa = select_v(
                 tree.n, tree.n if packed else tree.w, tree.p, tree.child,
-                tree.node_done, pns, pas, deps,
+                tree.node_done, pns[:, :, :vw], pas[:, :, :vw], deps,
                 c_puct, d, 1.0 / w_scale, forced_k, c, packed)
             return (lps.at[:, j].set(lp), slots.at[:, j].set(sel),
                     deps.at[:, j].set(depth),
