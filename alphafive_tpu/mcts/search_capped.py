@@ -83,7 +83,7 @@ def _top_c(p_signed: jnp.ndarray, c: int, prior_dtype):
 
 
 def _select_one(stat_a, stat_b, tree_p, tree_child, tree_done,
-                pns_prev, pas_prev, deps_prev,
+                ppa_prev, deps_prev,
                 c_puct, depth_limit, w_inv_scale, forced_k, num_slots,
                 packed):
     """Single-env PUCT descent over slot-indexed rows (vmapped by caller).
@@ -99,8 +99,12 @@ def _select_one(stat_a, stat_b, tree_p, tree_child, tree_done,
     non-matmul ops in the pass profile. In packed mode `stat_b` is unused
     (dead-code-eliminated), so only one gather runs per step.
 
+    The recorded path packs (node << 8 | slot) into ONE s32 per edge
+    (slots < C <= 256; node ids < 32767): one path-buffer write per
+    descent step instead of two, and one carried buffer instead of two.
+
     Virtual visits are COMPUTED, not scattered: earlier lanes' recorded
-    paths (pns_prev/pas_prev [LB, W], deps_prev [LB]; unfinished lanes
+    packed paths (ppa_prev [LB, W], deps_prev [LB]; unfinished lanes
     have depth 0 and contribute nothing) are compared against the current
     node inside the loop body — a [LB, W, C] one-hot reduction on the VPU.
     The caller passes only the first W = min(D, 32) path slots: this
@@ -115,12 +119,12 @@ def _select_one(stat_a, stat_b, tree_p, tree_child, tree_done,
     exact pins this at leaf_batch 4, whose descents stay far shallower
     than the window)."""
     d = depth_limit
-    dmask = (jnp.arange(pns_prev.shape[1])[None, :]
+    dmask = (jnp.arange(ppa_prev.shape[1])[None, :]
              < deps_prev[:, None])                             # [LB, W]
 
     def virt_row(cur):
-        match = dmask & (pns_prev == cur)                      # [LB, W]
-        onehot = (pas_prev[:, :, None]
+        match = dmask & ((ppa_prev >> 8) == cur)               # [LB, W]
+        onehot = ((ppa_prev & 255)[:, :, None]
                   == jnp.arange(num_slots)[None, None, :])     # [LB, W, C]
         return jnp.sum(match[:, :, None] & onehot,
                        axis=(0, 1)).astype(jnp.float32)        # [C]
@@ -129,7 +133,7 @@ def _select_one(stat_a, stat_b, tree_p, tree_child, tree_done,
         return ~c[2]
 
     def body(c):
-        cur, _, _, depth, pn, pa = c
+        cur, _, _, depth, ppa = c
         revisit = tree_done[cur] | (depth >= d)
         p_signed = tree_p[cur].astype(jnp.float32)
         legal = p_signed >= 0
@@ -152,17 +156,17 @@ def _select_one(stat_a, stat_b, tree_p, tree_child, tree_done,
         stop = revisit | (ch < 0)
         rec = ~revisit
         slot = jnp.minimum(depth, d - 1)
-        pn = pn.at[slot].set(jnp.where(rec, cur, pn[slot]))
-        pa = pa.at[slot].set(jnp.where(rec, s, pa[slot]))
+        ppa = ppa.at[slot].set(
+            jnp.where(rec, (cur << 8) | s, ppa[slot]))
         depth = depth + rec.astype(jnp.int32)
         nxt = jnp.where(stop, cur, ch)
         sel = jnp.where(revisit, -1, s)
-        return (nxt, sel, stop, depth, pn, pa)
+        return (nxt, sel, stop, depth, ppa)
 
     init = (jnp.int32(0), jnp.int32(-1), jnp.array(False), jnp.int32(0),
-            jnp.zeros((d,), jnp.int32), jnp.zeros((d,), jnp.int32))
-    cur, sel, _, depth, pn, pa = jax.lax.while_loop(cond, body, init)
-    return cur, sel, depth, pn, pa
+            jnp.zeros((d,), jnp.int32))
+    cur, sel, _, depth, ppa = jax.lax.while_loop(cond, body, init)
+    return cur, sel, depth, ppa
 
 
 def run_mcts_capped(
@@ -241,7 +245,7 @@ def run_mcts_capped(
     earange = jnp.arange(e)
     select_v = jax.vmap(
         _select_one,
-        in_axes=(0, 0, 0, 0, 0, 0, 0, 0,
+        in_axes=(0, 0, 0, 0, 0, 0, 0,
                  None, None, None, None, None, None))
 
     lb = max(1, int(mcts_cfg.leaf_batch))
@@ -260,21 +264,21 @@ def run_mcts_capped(
         vw = min(d, 32)  # virtual-visit comparison window (see _select_one)
 
         def one_descent(j, cst):
-            lps, slots, deps, pns, pas = cst
-            lp, sel, depth, pn, pa = select_v(
+            lps, slots, deps, ppas = cst
+            lp, sel, depth, ppa = select_v(
                 tree.n, tree.n if packed else tree.w, tree.p, tree.child,
-                tree.node_done, pns[:, :, :vw], pas[:, :, :vw], deps,
+                tree.node_done, ppas[:, :, :vw], deps,
                 c_puct, d, 1.0 / w_scale, forced_k, c, packed)
             return (lps.at[:, j].set(lp), slots.at[:, j].set(sel),
                     deps.at[:, j].set(depth),
-                    pns.at[:, j].set(pn), pas.at[:, j].set(pa))
+                    ppas.at[:, j].set(ppa))
 
         init = (jnp.zeros((e, lb), jnp.int32), jnp.zeros((e, lb), jnp.int32),
                 jnp.zeros((e, lb), jnp.int32),
-                jnp.zeros((e, lb, d), jnp.int32),
                 jnp.zeros((e, lb, d), jnp.int32))
-        lps, slots, deps, pns, pas = jax.lax.fori_loop(
+        lps, slots, deps, ppas = jax.lax.fori_loop(
             0, lb, one_descent, init)
+        pns, pas = ppas >> 8, ppas & 255                       # [E, lb, D]
 
         is_revisit = slots < 0
         safe_slot = jnp.maximum(slots, 0)
