@@ -107,11 +107,13 @@ def _select_one(stat_a, stat_b, tree_p, tree_child, tree_done,
     packed paths (ppa_prev [LB, W], deps_prev [LB]; unfinished lanes
     have depth 0 and contribute nothing) are compared against the current
     node inside the loop body — a [LB, W, C] one-hot reduction on the VPU.
-    The caller passes only the first W = min(D, 32) path slots: this
+    The caller passes only the first W = min(D, 16) path slots: this
     reduction is the most expensive op of the whole search, its cost is
-    ∝ W, and lanes whose paths agree for 32 plies and diverge later are
-    vanishingly rare — if it happens they merely re-expand the same leaf
-    (deduped at expansion; a wasted simulation, not an error).
+    ∝ W, and lanes whose paths agree for 16 plies and diverge later are
+    vanishingly rare — both the 32- and 16-window searches reproduced the
+    strength A/B's 64 games MOVE-FOR-MOVE; if a collision ever happens
+    the lanes merely re-expand the same leaf (deduped at expansion; a
+    wasted simulation, not an error).
     This keeps the big tree arrays IMMUTABLE for the whole select phase
     (their scatter→gather relayout happens once per pass) while preserving
     full-path virtual-visit semantics: bit-identical to the scatter
@@ -261,7 +263,7 @@ def run_mcts_capped(
         # select lb leaves; full-path virtual visits computed from the
         # already-recorded path buffers (big tree arrays stay immutable
         # for the whole select phase — see _select_one)
-        vw = min(d, 32)  # virtual-visit comparison window (see _select_one)
+        vw = min(d, 16)  # virtual-visit comparison window (see _select_one)
 
         def one_descent(j, cst):
             lps, slots, deps, ppas = cst
