@@ -347,6 +347,35 @@ def train_15x15() -> RunConfig:
     )
 
 
+def train_19x19() -> RunConfig:
+    """Practical 19×19 FULL-RENJU training config (not a BASELINE preset):
+    exercises the forbidden-move rules (double-three/four/overline) in
+    real self-play training and produces the bundled preview model. Same
+    recipe as train_15x15 scaled to the bigger board; the renju_19x19
+    10-block net is the memory-stress preset's — training it to full
+    strength takes far longer than one round's budget, so the bundle is
+    explicitly a preview."""
+    return RunConfig(
+        name="train_19x19",
+        env=EnvConfig(board_size=19, rules=RENJU),
+        net=NetConfig(blocks=6, channels=96),
+        mcts=MCTSConfig(num_simulations=240, max_depth=64,
+                        temperature_moves=16, prior_dtype="bfloat16",
+                        value_dtype="int16", leaf_batch=8, branch_cap=128,
+                        small_simulations=64),
+        replay=ReplayConfig(capacity=400_000, batch_size=512,
+                            min_fill=8_192),
+        train=TrainConfig(num_envs=512, selfplay_plies_per_iter=16,
+                          learner_steps_per_iter=4,
+                          kl_stop_factor=4.0,
+                          eval_every_iters=50, eval_games=32,
+                          eval_simulations=240,
+                          max_anchor_rollouts=3_200,
+                          checkpoint_every_iters=25,
+                          total_iters=4_000),
+    )
+
+
 def tiny_test() -> RunConfig:
     """Not a BASELINE preset: miniature config for fast unit tests."""
     return RunConfig(
@@ -370,6 +399,7 @@ PRESETS = {
     "renju_19x19": renju_19x19,
     "train_9x9": train_9x9,
     "train_15x15": train_15x15,
+    "train_19x19": train_19x19,
     "tiny_test": tiny_test,
 }
 
