@@ -32,7 +32,12 @@ def _parse_override_value(raw: str, old):
                 return typ(raw)
             except ValueError:
                 pass
-        return raw
+        # every current Optional field is numeric — a string here is a
+        # typo that would otherwise surface as an obscure error deep in
+        # search setup (round-2 advisor finding)
+        raise ValueError(
+            f"override value {raw!r} is not numeric (Optional fields "
+            f"take int/float or none)")
     return type(old)(raw)
 
 

@@ -60,7 +60,7 @@ class CappedTree:
     node_board: jnp.ndarray
 
 
-def _top_c(p_signed: jnp.ndarray, c: int, prior_dtype):
+def _top_c(p_signed: jnp.ndarray, c: int, prior_dtype, exact: bool = False):
     """(slot priors [..., C], slot actions i16[..., C]) from [..., A]
     SIGNED priors (legal >= 0, illegal = -1 — the sign trick the exact
     search uses, so selection needs no separate legality array).
@@ -70,10 +70,17 @@ def _top_c(p_signed: jnp.ndarray, c: int, prior_dtype):
     in the uncapped search); pad slots keep -1.
 
     When the cap actually binds (c < A) the TPU-native `approx_max_k`
-    (recall ≈ 0.98) replaces the sort-based exact top_k: occasionally
-    swapping the ~64th-best prior for the ~66th is noise next to the cap
-    itself. c == A (the parity/equality tests) stays exact."""
-    if c < p_signed.shape[-1]:
+    (recall ≈ 0.98) replaces the sort-based exact top_k for INTERIOR
+    nodes: occasionally swapping the ~64th-best prior for the ~66th is
+    noise next to the cap itself. Note the recall loss can also drop a
+    LEGAL move in favour of a -1 pad even when free slots remain (a
+    low-prior legal move displaced from the approximate top-c): at an
+    interior node that move becomes unreachable there, which is the same
+    class of error as the cap itself. The ROOT is different — a dropped
+    root move gets zero π mass in the training targets — so callers pass
+    exact=True for the root's single top-c (one exact top_k per search,
+    off the hot path). c == A (the parity/equality tests) stays exact."""
+    if c < p_signed.shape[-1] and not exact:
         vals, idx = jax.lax.approx_max_k(p_signed.astype(jnp.float32), c,
                                          recall_target=0.98)
     else:
@@ -104,32 +111,39 @@ def _select_one(stat_a, stat_b, tree_p, tree_child, tree_done,
     descent step instead of two, and one carried buffer instead of two.
 
     Virtual visits are COMPUTED, not scattered: earlier lanes' recorded
-    packed paths (ppa_prev [LB, W], deps_prev [LB]; unfinished lanes
+    packed paths (ppa_prev [LB, D], deps_prev [LB]; unfinished lanes
     have depth 0 and contribute nothing) are compared against the current
-    node inside the loop body — a [LB, W, C] one-hot reduction on the VPU.
-    The caller passes only the first W = min(D, 16) path slots: this
-    reduction is the most expensive op of the whole search, its cost is
-    ∝ W, and lanes whose paths agree for 16 plies and diverge later are
-    vanishingly rare — both the 32- and 16-window searches reproduced the
-    strength A/B's 64 games MOVE-FOR-MOVE; if a collision ever happens
-    the lanes merely re-expand the same leaf (deduped at expansion; a
-    wasted simulation, not an error).
+    node inside the loop body. The comparison reads ONE depth index, not
+    a window: expansion links every new node to exactly one parent edge
+    (same-edge lanes are deduped, links land only on child == -1 slots),
+    so the tree is a proper tree and each node has a UNIQUE depth — a
+    lane standing at `cur` at depth t can only collide with another
+    lane's path entry at index t (an entry at any other depth names a
+    node at that other depth, which cannot be `cur`). The round-2
+    implementation scanned a 16-deep window here ([LB, W, C] one-hot
+    reduction — the most expensive op of the whole search, and silently
+    approximate past 16 plies); the single-depth lookup is [LB, C],
+    ~16× cheaper, and EXACT at every depth up to max_depth
+    (tests/test_mcts.py::test_deep_forced_line_virtual_visits pins the
+    deep case; test_branch_cap_full_width_matches_exact pins
+    bit-equality with the scatter implementation in mcts/search.py).
     This keeps the big tree arrays IMMUTABLE for the whole select phase
-    (their scatter→gather relayout happens once per pass) while preserving
-    full-path virtual-visit semantics: bit-identical to the scatter
-    implementation in mcts/search.py (test_branch_cap_full_width_matches_
-    exact pins this at leaf_batch 4, whose descents stay far shallower
-    than the window)."""
+    (their scatter→gather relayout happens once per pass) while
+    preserving full-path virtual-visit semantics."""
     d = depth_limit
-    dmask = (jnp.arange(ppa_prev.shape[1])[None, :]
-             < deps_prev[:, None])                             # [LB, W]
 
-    def virt_row(cur):
-        match = dmask & ((ppa_prev >> 8) == cur)               # [LB, W]
-        onehot = ((ppa_prev & 255)[:, :, None]
-                  == jnp.arange(num_slots)[None, None, :])     # [LB, W, C]
-        return jnp.sum(match[:, :, None] & onehot,
-                       axis=(0, 1)).astype(jnp.float32)        # [C]
+    def virt_row(cur, depth):
+        # entries of earlier lanes at THIS tree depth (see docstring);
+        # depth is clamped only for the final dead iteration (revisit
+        # stops the lane and discards the score before it is used)
+        ent = jax.lax.dynamic_index_in_dim(
+            ppa_prev, jnp.minimum(depth, ppa_prev.shape[1] - 1),
+            axis=1, keepdims=False)                            # [LB]
+        match = (deps_prev > depth) & ((ent >> 8) == cur)      # [LB]
+        onehot = ((ent & 255)[:, None]
+                  == jnp.arange(num_slots)[None, :])           # [LB, C]
+        return jnp.sum(match[:, None] & onehot,
+                       axis=0).astype(jnp.float32)             # [C]
 
     def cond(c):
         return ~c[2]
@@ -147,7 +161,7 @@ def _select_one(stat_a, stat_b, tree_p, tree_child, tree_done,
             nf_real = stat_a[cur].astype(jnp.float32)
             w_row = stat_b[cur].astype(jnp.float32) * w_inv_scale
         p_row = jnp.maximum(p_signed, 0.0)
-        nf = nf_real + virt_row(cur)
+        nf = nf_real + virt_row(cur, depth)
         score = _puct_scores_n(nf, w_row, p_row, legal, c_puct)
         # forced-playout gate on REAL visits only (see search._select_one)
         forced = (legal & (depth == 0) & (nf_real > 0)
@@ -195,6 +209,9 @@ def run_mcts_capped(
     c_puct = jnp.float32(mcts_cfg.c_puct)
     forced_k = jnp.float32(mcts_cfg.forced_playouts_k if add_noise else 0.0)
     assert nn <= 32767
+    # path entries pack (node << 8 | slot): slot ids must fit in 8 bits,
+    # or backup scatters corrupt silently (round-2 advisor finding)
+    assert c <= 256, "branch_cap must be <= 256 (path packs slot in 8 bits)"
 
     key, knoise, keval = jax.random.split(key, 3)
 
@@ -239,7 +256,7 @@ def run_mcts_capped(
         eps = jnp.float32(mcts_cfg.dirichlet_eps)
         root_p = (1.0 - eps) * root_p + eps * noise
     root_slot_p, root_slot_act = _top_c(
-        jnp.where(root_legal, root_p, -1.0), c, prior_dtype)
+        jnp.where(root_legal, root_p, -1.0), c, prior_dtype, exact=True)
     tree = tree.replace(
         p=tree.p.at[:, 0].set(root_slot_p),
         cand_act=tree.cand_act.at[:, 0].set(root_slot_act))
@@ -263,13 +280,11 @@ def run_mcts_capped(
         # select lb leaves; full-path virtual visits computed from the
         # already-recorded path buffers (big tree arrays stay immutable
         # for the whole select phase — see _select_one)
-        vw = min(d, 16)  # virtual-visit comparison window (see _select_one)
-
         def one_descent(j, cst):
             lps, slots, deps, ppas = cst
             lp, sel, depth, ppa = select_v(
                 tree.n, tree.n if packed else tree.w, tree.p, tree.child,
-                tree.node_done, ppas[:, :, :vw], deps,
+                tree.node_done, ppas, deps,
                 c_puct, d, 1.0 / w_scale, forced_k, c, packed)
             return (lps.at[:, j].set(lp), slots.at[:, j].set(sel),
                     deps.at[:, j].set(depth),
