@@ -15,8 +15,11 @@ Conventions (shared with the vectorized env — keep in lockstep!):
   * rules "renju_lite": white wins with a run >= 5; black wins with a run of
     exactly 5; a black move whose longest run is >= 6 (overline) with no
     simultaneous exact-5 is a forbidden move and loses (winner = white).
-    Full Renju double-three/double-four forbids are intentionally out of
-    scope (documented in SURVEY.md §5.7 as a memory-stress variant).
+  * rules "renju": renju_lite plus the full black forbidden moves —
+    double-four and double-three (with the open-three legality probe) —
+    implemented in ``_renju_black_outcome`` below; the one documented
+    approximation is RIF's recursive forbidden-point exception
+    (config.RENJU).
 """
 
 from __future__ import annotations

@@ -17,8 +17,8 @@ renju_lite (==5 vs >=6) outcomes: any run containing the center that measures
 exactly 5 has both endpoints within ±4, so a 6th stone would be visible.
 
 Semantics are kept in exact lockstep with env/scalar.py (the parity oracle,
-SURVEY.md §4); tests/test_env_parity.py enforces fixed-seed trajectory
-equality (BASELINE.json:5).
+SURVEY.md §4); tests/test_env_vector.py enforces fixed-seed trajectory
+equality per ply (BASELINE.json:5), tests/test_renju.py the renju variants.
 """
 
 from __future__ import annotations

@@ -131,7 +131,7 @@ def test_trajectory_parity_random_games(rules, size, n):
             assert int(h.to_play[i]) == g.to_play
             assert int(h.move_count[i]) == g.move_count
             assert int(h.last_move[i]) == g.last_move
-    assert all(g.done for g in games) or True
+    assert all(g.done for g in games), "not every game finished"
 
 
 def test_runs_through_overline_measured():
