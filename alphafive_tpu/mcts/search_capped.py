@@ -89,14 +89,31 @@ def _top_c(p_signed: jnp.ndarray, c: int, prior_dtype, exact: bool = False):
     return vals, idx.astype(jnp.int16)
 
 
-def _select_one(stat_a, stat_b, tree_p, tree_child, tree_done,
-                ppa_prev, deps_prev,
-                c_puct, depth_limit, w_inv_scale, forced_k, num_slots,
-                packed):
-    """Single-env PUCT descent over slot-indexed rows (vmapped by caller).
+def _select_lanes(stat_a, stat_b, tree_p, tree_child, tree_done,
+                  c_puct, depth_limit, w_inv_scale, forced_k, num_slots,
+                  packed, lb):
+    """WAVEFRONT-PIPELINED PUCT descent: all ``lb`` lanes of a pass in
+    ONE while_loop. Lane j starts at loop iteration j and every active
+    lane takes one step per iteration, so the sequential iteration count
+    is (lb - 1 + max depth) instead of the SUM of per-lane depths that
+    lb back-to-back vmapped while_loops cost — the round-2 profile
+    showed the descent is op-dispatch-bound (thousands of tiny-op loop
+    iterations per ply), so ~4× fewer, lb× wider iterations is the
+    lever. Control flow per lane is identical to search._select_one;
+    rows are [C]-wide and the recorded path holds SLOTS, not actions.
 
-    Identical control flow to search._select_one; rows are [C]-wide and
-    the recorded path holds SLOTS, not actions.
+    The stagger gives two invariants:
+      * while lane j is active its recorded depth is EXACTLY k - j at
+        iteration k, so both the path-entry write and the
+        virtual-visit lookup below use STATIC per-iteration one-hot
+        vectors over the depth axis — pure broadcast fusions and one
+        tiny einsum, no data-dependent scatters/gathers (the v2
+        attempt used a generic scatter-add and a 4-D take_along_axis
+        here and lost its iteration-count win to their lowering);
+      * every earlier lane i < j is strictly deeper (or already
+        stopped with its path final), so the entry lane j reads was
+        recorded in a PRIOR iteration — the lookup is race-free and
+        bit-identical to running the lanes to completion one by one.
 
     Stats come either as separate (n u16, w) arrays (`packed=False`, the
     exact mode) or as ONE s32 array with the visit count in the low 16
@@ -110,79 +127,102 @@ def _select_one(stat_a, stat_b, tree_p, tree_child, tree_done,
     (slots < C <= 256; node ids < 32767): one path-buffer write per
     descent step instead of two, and one carried buffer instead of two.
 
-    Virtual visits are COMPUTED, not scattered: earlier lanes' recorded
-    packed paths (ppa_prev [LB, D], deps_prev [LB]; unfinished lanes
-    have depth 0 and contribute nothing) are compared against the current
-    node inside the loop body. The comparison reads ONE depth index, not
-    a window: expansion links every new node to exactly one parent edge
-    (same-edge lanes are deduped, links land only on child == -1 slots),
-    so the tree is a proper tree and each node has a UNIQUE depth — a
-    lane standing at `cur` at depth t can only collide with another
-    lane's path entry at index t (an entry at any other depth names a
-    node at that other depth, which cannot be `cur`). The round-2
-    implementation scanned a 16-deep window here ([LB, W, C] one-hot
-    reduction — the most expensive op of the whole search, and silently
-    approximate past 16 plies); the single-depth lookup is [LB, C],
-    ~16× cheaper, and EXACT at every depth up to max_depth
+    Virtual visits are COMPUTED, not scattered, and the comparison reads
+    ONE depth index, not a window: expansion links every new node to
+    exactly one parent edge (same-edge lanes are deduped, links land
+    only on child == -1 slots), so the tree is a proper tree and each
+    node has a UNIQUE depth — a lane standing at `cur` at depth t can
+    only collide with another lane's path entry at index t (an entry at
+    any other depth names a node at that other depth, which cannot be
+    `cur`). The round-2 implementation scanned a 16-deep window here
+    (the most expensive op of the whole search, and silently
+    approximate past 16 plies); the single-depth lookup is ~16× cheaper
+    and EXACT at every depth up to max_depth
     (tests/test_mcts.py::test_deep_forced_line_virtual_visits pins the
     deep case; test_branch_cap_full_width_matches_exact pins
     bit-equality with the scatter implementation in mcts/search.py).
-    This keeps the big tree arrays IMMUTABLE for the whole select phase
+    The big tree arrays stay IMMUTABLE for the whole select phase
     (their scatter→gather relayout happens once per pass) while
-    preserving full-path virtual-visit semantics."""
+    preserving full-path virtual-visit semantics.
+
+    Returns (lps [E,LB] leaf-parent nodes, slots [E,LB] chosen slot or
+    -1 for revisits, deps [E,LB] recorded path lengths, ppas [E,LB,D]
+    packed (node << 8 | slot) path entries)."""
     d = depth_limit
+    e = tree_done.shape[0]
+    eidx = jnp.arange(e)[:, None]                              # [E,1]
+    lanes = jnp.arange(lb)
+    slot_ar = jnp.arange(num_slots)
+    tri = lanes[:, None] < lanes[None, :]                      # [LBi,LBj]
+    darange = jnp.arange(d)
 
-    def virt_row(cur, depth):
-        # entries of earlier lanes at THIS tree depth (see docstring);
-        # depth is clamped only for the final dead iteration (revisit
-        # stops the lane and discards the score before it is used)
-        ent = jax.lax.dynamic_index_in_dim(
-            ppa_prev, jnp.minimum(depth, ppa_prev.shape[1] - 1),
-            axis=1, keepdims=False)                            # [LB]
-        match = (deps_prev > depth) & ((ent >> 8) == cur)      # [LB]
-        onehot = ((ent & 255)[:, None]
-                  == jnp.arange(num_slots)[None, :])           # [LB, C]
-        return jnp.sum(match[:, None] & onehot,
-                       axis=0).astype(jnp.float32)             # [C]
+    def cond(st):
+        return jnp.any(~st[3])
 
-    def cond(c):
-        return ~c[2]
-
-    def body(c):
-        cur, _, _, depth, ppa = c
-        revisit = tree_done[cur] | (depth >= d)
-        p_signed = tree_p[cur].astype(jnp.float32)
+    def body(st):
+        k, cur, depth, stopped, sel, ppas = st
+        active = (lanes[None, :] <= k) & ~stopped              # [E,LB]
+        revisit = tree_done[eidx, cur] | (depth >= d)
+        p_signed = tree_p[eidx, cur].astype(jnp.float32)       # [E,LB,C]
         legal = p_signed >= 0
         if packed:
-            row = stat_a[cur]                              # s32 [C]
+            row = stat_a[eidx, cur]                            # s32 [E,LB,C]
             nf_real = (row & 0xFFFF).astype(jnp.float32)
             w_row = (row >> 16).astype(jnp.float32) * w_inv_scale
         else:
-            nf_real = stat_a[cur].astype(jnp.float32)
-            w_row = stat_b[cur].astype(jnp.float32) * w_inv_scale
+            nf_real = stat_a[eidx, cur].astype(jnp.float32)
+            w_row = stat_b[eidx, cur].astype(jnp.float32) * w_inv_scale
         p_row = jnp.maximum(p_signed, 0.0)
-        nf = nf_real + virt_row(cur, depth)
+
+        # STATIC one-hot over the depth axis: active lane j sits at
+        # depth k - j exactly (stagger invariant); stopped lanes read
+        # garbage but their scores are discarded, and the
+        # depth_i > depth_j mask below uses the real depth counters
+        oh_d = (jnp.clip(k - lanes, 0, d - 1)[:, None]
+                == darange[None, :]).astype(jnp.float32)       # [LBj,D]
+        # ent[e,i,j] = ppas[e,i,k-j] via einsum (f32 exact: entries
+        # < 2^24); one tiny matmul instead of a 4-D gather
+        ent = jnp.einsum("eid,jd->eij", ppas.astype(jnp.float32),
+                         oh_d).astype(jnp.int32)               # [E,LBi,LBj]
+        match = (tri[None]
+                 & (depth[:, :, None] > depth[:, None, :])
+                 & ((ent >> 8) == cur[:, None, :]))            # [E,LBi,LBj]
+        virt = jnp.sum(
+            jnp.where(match[..., None]
+                      & ((ent & 255)[..., None] == slot_ar), 1.0, 0.0),
+            axis=1)                                            # [E,LBj,C]
+
+        nf = nf_real + virt
         score = _puct_scores_n(nf, w_row, p_row, legal, c_puct)
         # forced-playout gate on REAL visits only (see search._select_one)
-        forced = (legal & (depth == 0) & (nf_real > 0)
-                  & (nf_real * nf_real < forced_k * p_row * jnp.sum(nf_real)))
+        forced = (legal & (depth == 0)[..., None] & (nf_real > 0)
+                  & (nf_real * nf_real
+                     < forced_k * p_row
+                     * jnp.sum(nf_real, axis=-1, keepdims=True)))
         score = jnp.where(forced, jnp.inf, score)
-        s = jnp.argmax(score).astype(jnp.int32)
-        ch = tree_child[cur, s].astype(jnp.int32)
-        stop = revisit | (ch < 0)
-        rec = ~revisit
-        slot = jnp.minimum(depth, d - 1)
-        ppa = ppa.at[slot].set(
-            jnp.where(rec, (cur << 8) | s, ppa[slot]))
+        s = jnp.argmax(score, axis=-1).astype(jnp.int32)       # [E,LB]
+        ch = tree_child[eidx, cur, s].astype(jnp.int32)
+        stop_now = revisit | (ch < 0)
+        rec = active & ~revisit
+        # path write as a broadcast fusion against the SAME static
+        # one-hot (each (lane, depth) slot is written at most once)
+        ppas = ppas + (jnp.where(rec, (cur << 8) | s, 0)[:, :, None]
+                       * oh_d.astype(jnp.int32)[None])
         depth = depth + rec.astype(jnp.int32)
-        nxt = jnp.where(stop, cur, ch)
-        sel = jnp.where(revisit, -1, s)
-        return (nxt, sel, stop, depth, ppa)
+        sel = jnp.where(active & stop_now,
+                        jnp.where(revisit, -1, s), sel)
+        stopped = stopped | (active & stop_now)
+        cur = jnp.where(active & ~stop_now, ch, cur)
+        return (k + 1, cur, depth, stopped, sel, ppas)
 
-    init = (jnp.int32(0), jnp.int32(-1), jnp.array(False), jnp.int32(0),
-            jnp.zeros((d,), jnp.int32))
-    cur, sel, _, depth, ppa = jax.lax.while_loop(cond, body, init)
-    return cur, sel, depth, ppa
+    init = (jnp.int32(0),
+            jnp.zeros((e, lb), jnp.int32),
+            jnp.zeros((e, lb), jnp.int32),
+            jnp.zeros((e, lb), bool),
+            jnp.full((e, lb), -1, jnp.int32),
+            jnp.zeros((e, lb, d), jnp.int32))
+    _, cur, depth, _, sel, ppas = jax.lax.while_loop(cond, body, init)
+    return cur, sel, depth, ppas
 
 
 def run_mcts_capped(
@@ -262,39 +302,31 @@ def run_mcts_capped(
         cand_act=tree.cand_act.at[:, 0].set(root_slot_act))
 
     earange = jnp.arange(e)
-    select_v = jax.vmap(
-        _select_one,
-        in_axes=(0, 0, 0, 0, 0, 0, 0,
-                 None, None, None, None, None, None))
-
     lb = max(1, int(mcts_cfg.leaf_batch))
     while sims % lb:
         lb -= 1
     passes = sims // lb
     d = depth_limit
 
-    def pass_body(p_, carry):
+    def make_pass_body(d):
+        # `d` is the static path-depth cap for ONE stage of passes (see
+        # the staged loop below); everything inside is unchanged
+        def pass_body(p_, carry):
+            return _pass_body(p_, carry, d)
+        return pass_body
+
+    def _pass_body(p_, carry, d):
         tree, key = carry
         key, keval = jax.random.split(key)
 
-        # select lb leaves; full-path virtual visits computed from the
-        # already-recorded path buffers (big tree arrays stay immutable
-        # for the whole select phase — see _select_one)
-        def one_descent(j, cst):
-            lps, slots, deps, ppas = cst
-            lp, sel, depth, ppa = select_v(
-                tree.n, tree.n if packed else tree.w, tree.p, tree.child,
-                tree.node_done, ppas, deps,
-                c_puct, d, 1.0 / w_scale, forced_k, c, packed)
-            return (lps.at[:, j].set(lp), slots.at[:, j].set(sel),
-                    deps.at[:, j].set(depth),
-                    ppas.at[:, j].set(ppa))
-
-        init = (jnp.zeros((e, lb), jnp.int32), jnp.zeros((e, lb), jnp.int32),
-                jnp.zeros((e, lb), jnp.int32),
-                jnp.zeros((e, lb, d), jnp.int32))
-        lps, slots, deps, ppas = jax.lax.fori_loop(
-            0, lb, one_descent, init)
+        # select lb leaves in one wavefront-pipelined loop; full-path
+        # virtual visits computed from the already-recorded path buffers
+        # (big tree arrays stay immutable for the whole select phase —
+        # see _select_lanes)
+        lps, slots, deps, ppas = _select_lanes(
+            tree.n, tree.n if packed else tree.w, tree.p, tree.child,
+            tree.node_done, c_puct, d, 1.0 / w_scale, forced_k, c,
+            packed, lb)
         pns, pas = ppas >> 8, ppas & 255                       # [E, lb, D]
 
         is_revisit = slots < 0
@@ -379,7 +411,28 @@ def run_mcts_capped(
                 w=tree.w.at[eidx3, pns, pas].add(vals))
         return tree, key
 
-    tree, _ = jax.lax.fori_loop(0, passes, pass_body, (tree, key))
+    # DEPTH-STAGED pass loops: the tree deepens by at most one level per
+    # pass (links are committed only at pass end), so a descent in pass p
+    # can record at most p + 1 edges. Early passes therefore run with a
+    # much smaller static path-depth cap — the backup scatter's index
+    # count, the path buffers, and the virtual-visit lookup all scale
+    # with that cap, and the round-3 profile showed the backup scatter
+    # (padded to max_depth, ~88% zero-delta indices at typical depths)
+    # was the single largest non-matmul op of the pass (1.16 ms of a
+    # 5.5 ms pass). Stages double the cap from 8 up to min(max_depth,
+    # passes); semantics are identical because the tighter caps are
+    # unreachable by construction.
+    lo = 0
+    dc = 8
+    while lo < passes:
+        if dc >= min(d, passes):
+            tree, key = jax.lax.fori_loop(
+                lo, passes, make_pass_body(min(d, passes)), (tree, key))
+            break
+        tree, key = jax.lax.fori_loop(
+            lo, min(passes, dc), make_pass_body(dc), (tree, key))
+        lo = min(passes, dc)
+        dc *= 2
 
     # scatter slot visit counts back onto the action space
     if packed:
