@@ -227,10 +227,13 @@ def test_smoke_9x9_preset_end_to_end(tmp_path):
     assert iters[-1]["updated"] == 1.0
     assert np.isfinite(iters[-1]["loss"])
 
-    # crash after 1 iter, resume to 2: bit-identical to uninterrupted
-    wd_b = str(tmp_path / "b")
-    train(cfg, workdir=wd_b, total_iters=1, logger=quiet)
-    carry_b, _ = train(cfg, workdir=wd_b, total_iters=2, resume=True,
+    # crash after 1 iter, resume to 2: bit-identical to uninterrupted.
+    # Simulate the crash by deleting the run's OWN iter-2 checkpoint and
+    # resuming from iter 1 — reuses the 2-iter run above instead of a
+    # third train() call (round-2 verdict weak #8: suite wall-clock)
+    import shutil
+    shutil.rmtree(str(tmp_path / "a" / "ckpt" / "2"))
+    carry_b, _ = train(cfg, workdir=wd_a, total_iters=2, resume=True,
                        logger=quiet)
     for a, b in zip(jax.tree.leaves(carry_a.train_state.params),
                     jax.tree.leaves(carry_b.train_state.params)):
