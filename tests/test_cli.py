@@ -34,6 +34,13 @@ def test_apply_overrides_rejects_garbage():
         cli._apply_overrides(cfg, ["mcts.num_simulations"])
     with pytest.raises(AttributeError):
         cli._apply_overrides(cfg, ["mcts.nope=1"])
+    # a typo'd value for an Optional numeric field must raise loudly, not
+    # store the raw string (round-2 advisor finding)
+    with pytest.raises(ValueError, match="not numeric"):
+        cli._apply_overrides(cfg, ["mcts.branch_cap=12x"])
+    # none/null still clears Optional fields
+    assert cli._apply_overrides(
+        cfg, ["mcts.branch_cap=none"]).mcts.branch_cap is None
 
 
 def test_play_pure_opponent_scripted(monkeypatch, capsys):
