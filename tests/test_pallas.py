@@ -35,7 +35,10 @@ def test_fused_forward_matches_flax(size, blocks, channels):
     net = NetConfig(blocks=blocks, channels=channels, value_hidden=16,
                     compute_dtype="float32")
     params, bs = _rand_variables(env, net, jax.random.key(0))
-    x = jax.random.uniform(jax.random.key(1), (8, size, size, 4))
+    # batch 4: interpret-mode cost is linear in batch and these two tests
+    # dominated the suite wall-clock (round-2 verdict weak #8); equality
+    # coverage is per-position, extra samples add nothing
+    x = jax.random.uniform(jax.random.key(1), (4, size, size, 4))
 
     model = PolicyValueNet(env, net)
     ref_logits, ref_v = jax.jit(

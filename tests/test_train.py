@@ -212,7 +212,8 @@ def test_smoke_9x9_preset_end_to_end(tmp_path):
     cfg = dataclasses.replace(
         cfg,
         train=dataclasses.replace(cfg.train, eval_every_iters=0,
-                                  checkpoint_every_iters=1),
+                                  checkpoint_every_iters=1,
+                                  selfplay_plies_per_iter=32),
         replay=ReplayConfig(capacity=20_000, batch_size=64, min_fill=64))
     quiet = MetricsLogger(None, quiet=True)
 
