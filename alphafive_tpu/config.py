@@ -152,6 +152,12 @@ class TrainConfig:
     # KL-adaptive lr multiplier target (SURVEY.md §3.1 reference-family
     # `policy_update`): KL(π_old‖π_new) per update phase steers lr_scale.
     kl_target: float = 0.02
+    # Cap on the KL-adaptive lr multiplier. 10 matches the reference-family
+    # clamp; hard configs use a lower cap because a degenerate (bias-only)
+    # policy also yields tiny update-KL, which the controller misreads as
+    # "lr too small" and amplifies (the round-3 19×19 collapse cycle —
+    # train/learner.py docstring).
+    lr_scale_max: float = 10.0
     # KL early-stop INSIDE the update phase (SURVEY.md §3.1: the reference
     # breaks out of its ~5 update epochs when KL(π_old‖π_new) exceeds a
     # multiple of the target — the guard-rail that aborts a too-big
@@ -359,7 +365,15 @@ def train_19x19() -> RunConfig:
     recipe as train_15x15 scaled to the bigger board; the renju_19x19
     10-block net is the memory-stress preset's — training it to full
     strength takes far longer than one round's budget, so the bundle is
-    explicitly a preview."""
+    explicitly a preview.
+
+    Round-3 recipe changes after the head-collapse forensics
+    (train/learner.py docstring): 32-ply chunks over 256 envs (same 8192
+    env-steps/iter as before, but chunk length now covers the ~26-ply
+    average Renju game, lifting the z_valid fraction from the measured
+    0.33 to ~0.6 — unfinished-game positions carry no value target);
+    lr_scale_max=3 (the 10× controller cap amplified the collapse);
+    8 learner steps/iter for gradient throughput."""
     return RunConfig(
         name="train_19x19",
         env=EnvConfig(board_size=19, rules=RENJU),
@@ -370,10 +384,11 @@ def train_19x19() -> RunConfig:
                         small_simulations=64),
         replay=ReplayConfig(capacity=400_000, batch_size=512,
                             min_fill=8_192),
-        train=TrainConfig(num_envs=512, selfplay_plies_per_iter=16,
-                          learner_steps_per_iter=4,
+        train=TrainConfig(num_envs=256, selfplay_plies_per_iter=32,
+                          learner_steps_per_iter=8,
                           kl_stop_factor=4.0,
-                          eval_every_iters=50, eval_games=32,
+                          lr_scale_max=3.0,
+                          eval_every_iters=50, eval_games=64,
                           eval_simulations=240,
                           max_anchor_rollouts=3_200,
                           checkpoint_every_iters=25,

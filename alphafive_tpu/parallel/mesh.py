@@ -199,7 +199,8 @@ def make_train_iteration(cfg: RunConfig, mesh: Mesh,
             aux["executed_steps"] = n_exec
 
             kl = probe_kl(ts)
-            ts = learner.adapt_lr_scale(ts, kl, cfg.train.kl_target)
+            ts = learner.adapt_lr_scale(ts, kl, cfg.train.kl_target,
+                                        cfg.train.lr_scale_max)
             aux["kl_update"] = kl
             return ts, aux
 

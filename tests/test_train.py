@@ -134,6 +134,47 @@ def test_learner_step_decreases_loss(tiny):
     assert int(ts.step) == 40
 
 
+def test_adamw_decay_is_decoupled_and_bounded(tiny):
+    """Round-3 head-collapse regression (train/learner.py docstring): under
+    the old L2-in-loss + Adam, a vanishing data gradient let the normalized
+    L2 gradient zero kernels at ~lr per step. With decoupled decay, a
+    zero-data-gradient step must shrink a kernel by exactly lr·l2_coef·w
+    (proportional, coefficient-bounded) and leave biases untouched."""
+    cfg = tiny.train
+    assert cfg.optimizer == "adam"
+    params = {"dense": {"kernel": jnp.full((4, 4), 0.5),
+                        "bias": jnp.full((4,), 0.5)}}
+    opt = learner.make_optimizer(cfg)
+    state = opt.init(params)
+    zero_g = jax.tree.map(jnp.zeros_like, params)
+    # a couple of steps so the schedule warms past 0
+    for _ in range(3):
+        updates, state = opt.update(zero_g, state, params)
+    # the third update call sees schedule count 2 (counts start at 0)
+    lr_now = min(2 / max(cfg.lr_warmup_steps, 1), 1.0) * cfg.learning_rate
+    expect = -lr_now * cfg.l2_coef * 0.5
+    np.testing.assert_allclose(np.asarray(updates["dense"]["kernel"]),
+                               expect, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(updates["dense"]["bias"]), 0.0)
+    # the decay pull is orders of magnitude below lr — the old pathology
+    # (kernel zeroed at ~lr per step) would fail this by ~1/l2_coef
+    assert abs(expect) < cfg.learning_rate * 1e-3
+
+
+def test_adapt_lr_scale_respects_cap(tiny):
+    """Tiny update-KL grows lr_scale only up to scale_max (the degenerate-
+    policy amplification guard, config.TrainConfig.lr_scale_max)."""
+    ts = learner.init_train_state(tiny.env, tiny.net, tiny.train,
+                                  jax.random.key(0))
+    for _ in range(10):
+        ts = learner.adapt_lr_scale(ts, jnp.float32(1e-5), 0.02,
+                                    scale_max=3.0)
+    assert float(ts.lr_scale) == pytest.approx(3.0)
+    # and a too-big KL walks it back down
+    ts = learner.adapt_lr_scale(ts, jnp.float32(1.0), 0.02, scale_max=3.0)
+    assert float(ts.lr_scale) == pytest.approx(2.0)
+
+
 def test_train_iteration_8device_mesh(tiny):
     """The full SPMD program on the fake mesh: params stay replicated and
     identical, buffer fills, loss becomes finite once min_fill reached."""
