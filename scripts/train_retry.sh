@@ -6,9 +6,19 @@
 # checkpoints every 25 iterations make a crash lossless, so the right
 # recovery is simply "resume until the trainer exits cleanly".
 #
-# Usage: scripts/train_retry.sh <preset> <workdir> [extra cli args...]
+# Failure modes handled:
+#   * crash/exit (tunnel flake kills the client)  -> resume after 15s
+#   * fast deterministic failure (bad flag, import error) -> give up after 3
+#   * HANG (round 3: a tunnel outage can leave the client blocked forever in
+#     a device call instead of erroring; the run then stalls silently) ->
+#     a stall watchdog kills the trainer when train.log stops growing for
+#     STALL_MINUTES (default 30 — generous enough for the first big XLA
+#     compile and the largest host-stepped anchor eval, both ~10 min).
+#
+# Usage: [STALL_MINUTES=30] scripts/train_retry.sh <preset> <workdir> [extra cli args...]
 set -u
 PRESET=$1; WORKDIR=$2; shift 2
+STALL_MINUTES=${STALL_MINUTES:-30}
 cd "$(dirname "$0")/.."
 mkdir -p "$WORKDIR"
 ATTEMPT=0
@@ -18,8 +28,29 @@ while true; do
   echo "[train_retry] attempt $ATTEMPT $(date -u +%FT%TZ)" >> "$WORKDIR/retry.log"
   START=$(date +%s)
   python -m alphafive_tpu.cli train --preset "$PRESET" --workdir "$WORKDIR" \
-    --resume "$@" >> "$WORKDIR/train.log" 2>&1
+    --resume "$@" >> "$WORKDIR/train.log" 2>&1 &
+  TRAINER=$!
+  # stall watchdog: kill the exact trainer PID (never a pattern) if the log
+  # goes quiet for STALL_MINUTES while the process is still alive
+  (
+    while kill -0 "$TRAINER" 2>/dev/null; do
+      sleep 60
+      if [ -f "$WORKDIR/train.log" ]; then
+        AGE=$(( $(date +%s) - $(stat -c %Y "$WORKDIR/train.log") ))
+        if [ "$AGE" -ge $(( STALL_MINUTES * 60 )) ]; then
+          echo "[train_retry] stall: no log output for ${AGE}s — killing trainer pid $TRAINER $(date -u +%FT%TZ)" >> "$WORKDIR/retry.log"
+          kill "$TRAINER" 2>/dev/null
+          sleep 10
+          kill -9 "$TRAINER" 2>/dev/null
+          break
+        fi
+      fi
+    done
+  ) &
+  WATCHDOG=$!
+  wait "$TRAINER"
   CODE=$?
+  kill "$WATCHDOG" 2>/dev/null
   ELAPSED=$(( $(date +%s) - START ))
   echo "[train_retry] exit $CODE after ${ELAPSED}s $(date -u +%FT%TZ)" >> "$WORKDIR/retry.log"
   if [ $CODE -eq 0 ]; then
