@@ -52,6 +52,13 @@ class TrainCarry:
     train_state: TrainState   # replicated
     env_state: EnvState       # sharded over data (env axis)
     buffer: ReplayBuffer      # sharded over data (capacity axis)
+    # one-chunk z-resolution lookahead (round 3, train/actor.py): the
+    # previous chunk's raw recordings, staged E-major ([E, T, ...] so the
+    # leading axis shards over `data` like env_state) until the next chunk
+    # provides lookahead dones; has_pending is a per-device [n] flag that
+    # gates the very first write (the zeroed staging buffer is not data)
+    pending: actor.Recordings
+    has_pending: jnp.ndarray
 
 
 def make_mesh(num_data: Optional[int] = None,
@@ -76,8 +83,14 @@ def init_carry(cfg: RunConfig, key: jax.Array, mesh: Mesh) -> TrainCarry:
     # as [n] arrays sharded over data so each shard runs an independent ring
     buf = buf.replace(ptr=jnp.zeros((n,), jnp.int32),
                       size=jnp.zeros((n,), jnp.int32))
+    pending = jax.tree.map(
+        lambda x: jnp.swapaxes(x, 0, 1),
+        actor.init_recordings(cfg.env, cfg.train.selfplay_plies_per_iter,
+                              cfg.train.num_envs))
 
-    carry = TrainCarry(train_state=ts, env_state=env_state, buffer=buf)
+    carry = TrainCarry(train_state=ts, env_state=env_state, buffer=buf,
+                       pending=pending,
+                       has_pending=jnp.zeros((n,), bool))
     return jax.device_put(carry, carry_shardings(mesh, carry))
 
 
@@ -88,12 +101,15 @@ def _spec_of(mesh: Mesh, x, leading_data: bool) -> NamedSharding:
 
 
 def carry_shardings(mesh: Mesh, carry: TrainCarry) -> TrainCarry:
+    data = lambda tree: jax.tree.map(
+        lambda x: _spec_of(mesh, x, True), tree)
     return TrainCarry(
         train_state=jax.tree.map(lambda x: _spec_of(mesh, x, False),
                                  carry.train_state),
-        env_state=jax.tree.map(lambda x: _spec_of(mesh, x, True),
-                               carry.env_state),
-        buffer=jax.tree.map(lambda x: _spec_of(mesh, x, True), carry.buffer),
+        env_state=data(carry.env_state),
+        buffer=data(carry.buffer),
+        pending=data(carry.pending),
+        has_pending=_spec_of(mesh, carry.has_pending, True),
     )
 
 
@@ -103,10 +119,13 @@ def carry_pspecs(carry: TrainCarry) -> TrainCarry:
         if hasattr(x, "ndim") and x.ndim >= 1:
             return P(DATA_AXIS, *([None] * (x.ndim - 1)))
         return P()
+    data = lambda tree: jax.tree.map(data_spec, tree)
     return TrainCarry(
         train_state=jax.tree.map(lambda x: P(), carry.train_state),
-        env_state=jax.tree.map(data_spec, carry.env_state),
-        buffer=jax.tree.map(data_spec, carry.buffer),
+        env_state=data(carry.env_state),
+        buffer=data(carry.buffer),
+        pending=data(carry.pending),
+        has_pending=data_spec(carry.has_pending),
     )
 
 
@@ -121,7 +140,8 @@ def make_train_iteration(cfg: RunConfig, mesh: Mesh,
     n = mesh.shape[DATA_AXIS]
 
     def _local_iteration(ts: TrainState, env_state: EnvState,
-                         buf: ReplayBuffer, key: jax.Array):
+                         buf: ReplayBuffer, pending: actor.Recordings,
+                         has_pending: jnp.ndarray, key: jax.Array):
         # --- per-device randomness; params stay replicated ---
         me = jax.lax.axis_index(DATA_AXIS)
         key = jax.random.fold_in(key, me)
@@ -132,14 +152,26 @@ def make_train_iteration(cfg: RunConfig, mesh: Mesh,
 
         # --- self-play chunk on the local envs ---
         evaluate = net_evaluator(cfg.env, cfg.net, ts.params, ts.batch_stats)
-        env_state, traj, stats = actor.selfplay_chunk(
+        env_state, recs, stats = actor.selfplay_record(
             cfg.env, cfg.mcts, evaluate, env_state, kplay,
             cfg.train.selfplay_plies_per_iter)
 
-        # --- write into the local ring ---
-        buf = replay_buffer.write(buf, traj.board, traj.to_play,
-                                  traj.last_move, traj.pi, traj.z,
-                                  traj.z_valid, traj.pi_valid)
+        # --- z-resolve the STAGED chunk with this chunk as lookahead and
+        # write it into the local ring (one-chunk delay: games straddling
+        # a chunk boundary still get value targets — actor.py docstring);
+        # this chunk replaces it in the staging slot ---
+        swap = lambda tree: jax.tree.map(
+            lambda x: jnp.swapaxes(x, 0, 1), tree)
+        traj = actor.resolve_chunk(cfg.env, swap(pending), lookahead=recs)
+        buf = jax.lax.cond(
+            has_pending[0],
+            lambda b: replay_buffer.write(
+                b, traj.board, traj.to_play, traj.last_move, traj.pi,
+                traj.z, traj.z_valid, traj.pi_valid),
+            lambda b: b,
+            buf)
+        pending = swap(recs)
+        has_pending = jnp.ones_like(has_pending)
 
         # --- K learner steps, gated on global fill ---
         global_size = jax.lax.psum(buf.size, DATA_AXIS)
@@ -228,25 +260,32 @@ def make_train_iteration(cfg: RunConfig, mesh: Mesh,
             buffer_size=global_size.astype(jnp.float32),
             updated=do_update.astype(jnp.float32),
             step=ts.step.astype(jnp.float32),
+            # value-target coverage of the chunk just written (the round-3
+            # collapse forensics made this a first-class diagnostic)
+            z_valid_frac=jax.lax.pmean(
+                traj.z_valid.astype(jnp.float32).mean()
+                * has_pending[0], DATA_AXIS),
         )
 
         # restore per-shard ring pointer layout ([1] per device)
         buf = buf.replace(ptr=buf.ptr[None], size=buf.size[None])
-        return ts, env_state, buf, metrics
+        return ts, env_state, buf, pending, has_pending, metrics
 
     def iteration(carry: TrainCarry, key: jax.Array):
         pspecs = carry_pspecs(carry)
         f = shard_map(
             _local_iteration, mesh=mesh,
             in_specs=(pspecs.train_state, pspecs.env_state, pspecs.buffer,
-                      P()),
+                      pspecs.pending, pspecs.has_pending, P()),
             out_specs=(pspecs.train_state, pspecs.env_state, pspecs.buffer,
-                       P()),
+                       pspecs.pending, pspecs.has_pending, P()),
             check_vma=False,
         )
-        ts, env_state, buf, metrics = f(carry.train_state, carry.env_state,
-                                        carry.buffer, key)
-        return (TrainCarry(train_state=ts, env_state=env_state, buffer=buf),
+        ts, env_state, buf, pending, has_pending, metrics = f(
+            carry.train_state, carry.env_state, carry.buffer,
+            carry.pending, carry.has_pending, key)
+        return (TrainCarry(train_state=ts, env_state=env_state, buffer=buf,
+                           pending=pending, has_pending=has_pending),
                 metrics)
 
     return jax.jit(iteration, donate_argnums=(0,) if donate else ())

@@ -12,9 +12,16 @@ sampled with τ=1 for the first `temperature_moves` plies of each game and
 greedily afterwards — the reference family's temperature decay applied to
 acting, with the canonical AlphaZero training target.
 
-Positions whose game did not finish inside the chunk get `z_valid=False`:
-their π is still a valid policy target, but the value target is masked in
-the learner (SURVEY.md §7 replay design).
+Positions whose game did not finish inside the resolution window get
+`z_valid=False`: their π is still a valid policy target, but the value
+target is masked in the learner (SURVEY.md §7 replay design). The
+training pipeline widens that window with ONE-CHUNK LOOKAHEAD
+(parallel/mesh.py round 3): raw per-ply recordings are staged for one
+iteration and z-resolved against the NEXT chunk before entering the
+replay ring, so any game ending within `num_plies` of a position's chunk
+resolves. Measured motivation: 16-ply chunks against ~26-ply 19×19 Renju
+games left only 33% of positions with a value target, biased toward game
+endings (docs/TRAINING.md).
 
 Playout cap randomization (KataGo, "Accelerating Self-Play Learning in
 Go", PAPERS.md): when ``mcts_cfg.small_simulations > 0``, each ply flips a
@@ -70,6 +77,39 @@ class Trajectory:
     pi_valid: jnp.ndarray  # bool[M] (full-budget search — π is a target)
 
 
+@struct.dataclass
+class Recordings:
+    """Raw per-ply recordings of a chunk, BEFORE z resolution ([T, E]).
+
+    `board/to_play/last_move` describe the position the mover faced;
+    `done/winner` describe the env AFTER the recorded move (the done flag
+    that ends the game this ply belongs to). Staged in the train carry for
+    one iteration so z can be resolved with next-chunk lookahead."""
+
+    board: jnp.ndarray     # int8[T, E, A]
+    to_play: jnp.ndarray   # int8[T, E]
+    last_move: jnp.ndarray  # int32[T, E]
+    pi: jnp.ndarray        # f32[T, E, A]
+    done: jnp.ndarray      # bool[T, E]
+    winner: jnp.ndarray    # int8[T, E]
+    pi_valid: jnp.ndarray  # bool[T, E]
+
+
+def init_recordings(env_cfg: EnvConfig, num_plies: int,
+                    num_envs: int) -> Recordings:
+    """Zeroed staging buffer (used before the first chunk exists)."""
+    t, e, a = num_plies, num_envs, env_cfg.num_actions
+    return Recordings(
+        board=jnp.zeros((t, e, a), jnp.int8),
+        to_play=jnp.ones((t, e), jnp.int8),
+        last_move=jnp.full((t, e), -1, jnp.int32),
+        pi=jnp.zeros((t, e, a), jnp.float32),
+        done=jnp.zeros((t, e), bool),
+        winner=jnp.zeros((t, e), jnp.int8),
+        pi_valid=jnp.zeros((t, e), bool),
+    )
+
+
 class SelfplayStats(NamedTuple):
     games_finished: jnp.ndarray  # int32[]
     env_steps: jnp.ndarray       # int32[]
@@ -79,7 +119,7 @@ class SelfplayStats(NamedTuple):
     mean_root_value: jnp.ndarray  # f32[]
 
 
-def selfplay_chunk(
+def selfplay_record(
     env_cfg: EnvConfig,
     mcts_cfg: MCTSConfig,
     evaluate: Callable,
@@ -87,8 +127,9 @@ def selfplay_chunk(
     key: jax.Array,
     num_plies: int,
     num_simulations: int | None = None,
-) -> Tuple[EnvState, Trajectory, SelfplayStats]:
-    """Play `num_plies` lockstep plies in every env (auto-resetting)."""
+) -> Tuple[EnvState, Recordings, SelfplayStats]:
+    """Play `num_plies` lockstep plies in every env (auto-resetting),
+    returning the raw recordings (z not yet resolved — see resolve_chunk)."""
 
     small = int(mcts_cfg.small_simulations or 0)
     full_budget = int(num_simulations or mcts_cfg.num_simulations)
@@ -135,38 +176,75 @@ def selfplay_chunk(
     (boards, to_plays, lasts, pis, dones, winners, root_vals,
      pi_valids) = recs
 
-    # winner backfill: reverse scan carrying "winner of the game this ply
-    # belongs to" (known once a later `done` has been seen)
-    def rev(carry, rec):
-        w, have = carry
-        done, winner, to_play = rec
-        w = jnp.where(done, winner, w)
-        have = done | have
-        z = (w * to_play).astype(jnp.int8)
-        return (w, have), (z, have)
-
     e = boards.shape[1]
-    init = (jnp.zeros((e,), jnp.int8), jnp.zeros((e,), bool))
-    _, (zs, valids) = jax.lax.scan(rev, init, (dones, winners, to_plays),
-                                   reverse=True)
-
-    a = env_cfg.num_actions
-    traj = Trajectory(
-        board=boards.reshape(-1, a),
-        to_play=to_plays.reshape(-1),
-        last_move=lasts.reshape(-1),
-        pi=pis.reshape(-1, a),
-        z=zs.reshape(-1),
-        z_valid=valids.reshape(-1),
-        pi_valid=pi_valids.reshape(-1),
-    )
-    finished = dones.sum().astype(jnp.int32)
+    recordings = Recordings(
+        board=boards, to_play=to_plays, last_move=lasts, pi=pis,
+        done=dones, winner=winners, pi_valid=pi_valids)
     stats = SelfplayStats(
-        games_finished=finished,
+        games_finished=dones.sum().astype(jnp.int32),
         env_steps=jnp.int32(num_plies * e),
         black_wins=(winners == 1).sum().astype(jnp.int32),
         white_wins=(winners == -1).sum().astype(jnp.int32),
         draws=((winners == 0) & dones).sum().astype(jnp.int32),
         mean_root_value=root_vals.mean(),
     )
-    return state, traj, stats
+    return state, recordings, stats
+
+
+def resolve_chunk(env_cfg: EnvConfig, recs: Recordings,
+                  lookahead: Recordings | None = None) -> Trajectory:
+    """z-resolve recordings into a flat Trajectory ([T*E]).
+
+    The winner backfill is a reverse scan carrying "winner of the game
+    this ply belongs to" (known once a later `done` has been seen). With
+    `lookahead` (the chronologically NEXT chunk's recordings), the scan
+    runs over both chunks so games that end within the lookahead chunk
+    also resolve; only the first chunk's plies are emitted."""
+    t = recs.done.shape[0]
+    if lookahead is None:
+        dones, winners = recs.done, recs.winner
+    else:
+        dones = jnp.concatenate([recs.done, lookahead.done], axis=0)
+        winners = jnp.concatenate([recs.winner, lookahead.winner], axis=0)
+
+    def rev(carry, rec):
+        w, have = carry
+        done, winner = rec
+        w = jnp.where(done, winner, w)
+        have = done | have
+        return (w, have), (w, have)
+
+    e = recs.done.shape[1]
+    init = (jnp.zeros((e,), jnp.int8), jnp.zeros((e,), bool))
+    _, (ws, valids) = jax.lax.scan(rev, init, (dones, winners),
+                                   reverse=True)
+    zs = (ws[:t] * recs.to_play).astype(jnp.int8)
+
+    a = env_cfg.num_actions
+    return Trajectory(
+        board=recs.board.reshape(-1, a),
+        to_play=recs.to_play.reshape(-1),
+        last_move=recs.last_move.reshape(-1),
+        pi=recs.pi.reshape(-1, a),
+        z=zs.reshape(-1),
+        z_valid=valids[:t].reshape(-1),
+        pi_valid=recs.pi_valid.reshape(-1),
+    )
+
+
+def selfplay_chunk(
+    env_cfg: EnvConfig,
+    mcts_cfg: MCTSConfig,
+    evaluate: Callable,
+    state: EnvState,
+    key: jax.Array,
+    num_plies: int,
+    num_simulations: int | None = None,
+) -> Tuple[EnvState, Trajectory, SelfplayStats]:
+    """Play `num_plies` lockstep plies and z-resolve within the chunk
+    (no lookahead — the single-shot API used by benchmarks and tests;
+    the training pipeline stages Recordings for one-chunk lookahead)."""
+    state, recs, stats = selfplay_record(
+        env_cfg, mcts_cfg, evaluate, state, key, num_plies,
+        num_simulations)
+    return state, resolve_chunk(env_cfg, recs), stats

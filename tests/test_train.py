@@ -134,7 +134,64 @@ def test_learner_step_decreases_loss(tiny):
     assert int(ts.step) == 40
 
 
-def test_adamw_decay_is_decoupled_and_bounded(tiny):
+def test_resolve_chunk_lookahead_matches_concat(tiny):
+    """One-chunk lookahead resolution (round 3) must equal resolving the
+    concatenated double chunk and slicing the first half — the oracle for
+    cross-chunk z backfill — and must strictly beat in-chunk resolution on
+    coverage when games straddle the boundary."""
+    cfg = tiny
+    e, t = 4, 7  # 5x5/n4 games run ~8-20 plies -> most straddle 7-ply chunks
+    state = vector.init(cfg.env, e)
+    record = jax.jit(functools.partial(
+        actor.selfplay_record, cfg.env, cfg.mcts,
+        uniform_evaluator(cfg.env), num_plies=t))
+    k1, k2 = jax.random.split(jax.random.key(3))
+    state, recs1, _ = record(state, k1)
+    state, recs2, _ = record(state, k2)
+
+    look = actor.resolve_chunk(cfg.env, recs1, lookahead=recs2)
+    both = jax.tree.map(lambda a, b: jnp.concatenate([a, b], 0),
+                        recs1, recs2)
+    oracle = actor.resolve_chunk(cfg.env, both)
+    m = t * e
+    np.testing.assert_array_equal(np.asarray(look.z_valid),
+                                  np.asarray(oracle.z_valid)[:m])
+    # z only meaningful where valid
+    zv = np.asarray(look.z_valid)
+    np.testing.assert_array_equal(np.asarray(look.z)[zv],
+                                  np.asarray(oracle.z)[:m][zv])
+
+    # coverage: strictly more than in-chunk resolution (straddling games)
+    in_chunk = actor.resolve_chunk(cfg.env, recs1)
+    assert zv.sum() > np.asarray(in_chunk.z_valid).sum()
+    # and everything the in-chunk pass resolved is still resolved equally
+    iv = np.asarray(in_chunk.z_valid)
+    assert (zv | ~iv).all()
+    np.testing.assert_array_equal(np.asarray(look.z)[iv],
+                                  np.asarray(in_chunk.z)[iv])
+
+
+def test_train_iteration_z_coverage(tiny):
+    """The staged pipeline's written chunks reach ~full value-target
+    coverage once lookahead kicks in (z_valid_frac metric), and the first
+    iteration writes nothing (has_pending gate)."""
+    cfg = dataclasses.replace(
+        tiny, train=dataclasses.replace(tiny.train,
+                                        selfplay_plies_per_iter=7))
+    mesh = parallel.make_mesh(1)
+    carry = parallel.init_carry(cfg, jax.random.key(0), mesh)
+    it = parallel.make_train_iteration(cfg, mesh, donate=False)
+    sizes, fracs = [], []
+    for i in range(4):
+        carry, metrics = it(carry, jax.random.key(i))
+        sizes.append(int(metrics["buffer_size"]))
+        fracs.append(float(metrics["z_valid_frac"]))
+    chunk = 7 * cfg.train.num_envs
+    assert sizes[0] == 0 and sizes[1] == chunk and sizes[3] == 3 * chunk
+    assert fracs[0] == 0.0  # nothing written yet
+    # 5x5/n4 games last ~8-20 plies: in-chunk-only coverage of 7-ply
+    # chunks would be far below this; lookahead lifts it near 1
+    assert np.mean(fracs[1:]) > 0.75, fracs
     """Round-3 head-collapse regression (train/learner.py docstring): under
     the old L2-in-loss + Adam, a vanishing data gradient let the normalized
     L2 gradient zero kernels at ~lr per step. With decoupled decay, a
@@ -192,7 +249,10 @@ def test_train_iteration_8device_mesh(tiny):
     it = parallel.make_train_iteration(cfg, mesh, donate=False)
     carry, m1 = it(carry, jax.random.key(1))
     carry, m2 = it(carry, jax.random.key(2))
-    assert float(m2["buffer_size"]) > float(m1["buffer_size"]) > 0
+    carry, m3 = it(carry, jax.random.key(3))
+    # iter 0 stages only (one-chunk z lookahead); writes start at iter 1
+    assert float(m1["buffer_size"]) == 0
+    assert float(m3["buffer_size"]) > float(m2["buffer_size"]) > 0
     assert float(m2["updated"]) == 1.0
     assert np.isfinite(float(m2["loss"]))
     # params identical across devices (replicated invariant)
@@ -221,7 +281,8 @@ def test_kl_early_stop_masks_steps(tiny):
         mesh = parallel.make_mesh(1)
         carry = parallel.init_carry(cfg, jax.random.key(0), mesh)
         it = parallel.make_train_iteration(cfg, mesh, donate=False)
-        carry, m = it(carry, jax.random.key(1))
+        carry, m = it(carry, jax.random.key(1))  # stages only (lookahead)
+        carry, m = it(carry, jax.random.key(2))
         assert float(m["updated"]) == 1.0
         return carry, m
 
@@ -247,15 +308,15 @@ def test_smoke_9x9_preset_end_to_end(tmp_path):
     cfg = get_preset("smoke_9x9")
     # The defining knobs of BASELINE cfg 1 stay untouched (9x9 board,
     # 1 env, 100-sim MCTS, 4-block 64-ch f32 net, fixed seed). Ancillary
-    # cadence/replay thresholds shrink so the learner engages in iter 0
-    # and the test stays ~1 min on the 1-core CI box (each smoke
-    # iteration = 8100 batch-1 net forwards).
+    # cadence/replay thresholds shrink so the learner engages at iter 1
+    # (the first iter only stages the z-lookahead chunk) and the test
+    # stays ~1 min on the 1-core CI box.
     cfg = dataclasses.replace(
         cfg,
         train=dataclasses.replace(cfg.train, eval_every_iters=0,
                                   checkpoint_every_iters=1,
                                   selfplay_plies_per_iter=32),
-        replay=ReplayConfig(capacity=20_000, batch_size=64, min_fill=64))
+        replay=ReplayConfig(capacity=20_000, batch_size=64, min_fill=32))
     quiet = MetricsLogger(None, quiet=True)
 
     wd_a = str(tmp_path / "a")
