@@ -29,8 +29,11 @@ def _rand_variables(env, net, key):
     return params, bs
 
 
-@pytest.mark.parametrize("size,blocks,channels", [(5, 1, 16), (9, 2, 32)])
+@pytest.mark.parametrize("size,blocks,channels", [(5, 1, 16), (7, 2, 32)])
 def test_fused_forward_matches_flax(size, blocks, channels):
+    # 7x7 (not 9x9) for the multi-block case: interpret-mode cost scales
+    # with S^2 and both sizes pad to the same 128-lane tiles, so the
+    # larger board adds wall-clock without adding kernel coverage
     env = EnvConfig(board_size=size, n_in_row=4)
     net = NetConfig(blocks=blocks, channels=channels, value_hidden=16,
                     compute_dtype="float32")
