@@ -268,9 +268,20 @@ def _cmd_play(cfg, args):
         params, batch_stats, net_cfg = _load_model(cfg, args.workdir)
         evaluate = net_evaluator(cfg.env, net_cfg, params, batch_stats)
     sims = args.sims or cfg.mcts.num_simulations
-    run = jax.jit(functools.partial(
-        run_mcts, cfg.env, cfg.mcts, evaluate,
-        num_simulations=sims, add_noise=False))
+    if cfg.mcts.root_selection == "gumbel":
+        from alphafive_tpu.mcts import run_gumbel_mcts
+
+        def _run(st, k):  # action = deterministic halving winner (g = 0)
+            res = run_gumbel_mcts(cfg.env, cfg.mcts, evaluate, st, k,
+                                  num_simulations=sims, add_noise=False)
+            return res.action, res.root_value
+    else:
+        def _run(st, k):  # action = greedy argmax of visit counts
+            res = run_mcts(cfg.env, cfg.mcts, evaluate, st, k,
+                           num_simulations=sims, add_noise=False)
+            return (jnp.argmax(res.visits, axis=-1).astype(jnp.int32),
+                    res.root_value)
+    run = jax.jit(_run)
 
     g = ScalarGomoku(cfg.env.board_size, cfg.env.n_in_row, cfg.env.rules)
     human = 1 if args.human_color == "black" else -1
@@ -299,10 +310,10 @@ def _cmd_play(cfg, args):
                 move_count=jnp.array([g.move_count], jnp.int32),
                 done=jnp.array([False]), winner=jnp.array([0], jnp.int8))
             key, ks = jax.random.split(key)
-            res = run(st, ks)
-            a = int(np.argmax(np.asarray(res.visits)[0]))
+            act, root_value = run(st, ks)
+            a = int(np.asarray(act)[0])
             print(f"AI plays {divmod(a, g.size)} "
-                  f"(value {float(res.root_value[0]):+.2f})")
+                  f"(value {float(root_value[0]):+.2f})")
         g.step(a)
     print(g.render())
     out = {1: "black (X) wins", -1: "white (O) wins", 0: "draw"}

@@ -125,6 +125,30 @@ class MCTSConfig:
     # C=128 is Elo-neutral (docs/PERFORMANCE.md) — perf presets use 128.
     # None = exact full-width (parity tests).
     branch_cap: Optional[int] = None
+    # Root action selection / policy-target scheme:
+    #   "puct"   — classic AlphaZero root (Dirichlet noise + temperature
+    #              sampling over visit counts) — the reference family's
+    #              behavior (SURVEY.md §2 "MCTS player").
+    #   "gumbel" — Gumbel root search with sequential halving (Danihelka
+    #              et al. 2022, "Policy Improvement by Planning with
+    #              Gumbel"; mcts/gumbel.py). Exploration comes from Gumbel
+    #              noise on the root logits instead of Dirichlet+temperature,
+    #              the played action is the halving winner, and the policy
+    #              target is the improved policy softmax(logits + σ(completed
+    #              Q)) — the known technique that keeps very low simulation
+    #              budgets (≤32, the only physically 1M-aggregate-capable
+    #              regime — docs/NORTH_STAR.md §3) producing sound policy
+    #              improvement. TPU-native fit: the halving survivors ARE
+    #              the leaf-parallel lanes (each pass visits every survivor
+    #              once, distinct root children ⇒ no virtual-visit machinery).
+    root_selection: str = "puct"
+    # Max root candidates considered by the Gumbel search (m in the paper;
+    # power of two). The effective m is min(gumbel_m, budget).
+    gumbel_m: int = 16
+    # σ(q) = (c_visit + max_b N(b)) · c_scale · q — the paper's monotone
+    # Q transform used in scores and the improved-policy target.
+    gumbel_c_visit: float = 50.0
+    gumbel_c_scale: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -128,8 +128,14 @@ def _puct_scores_n(nf, w_row, p_row, legal, c_puct):
 
 
 def _select_one(tree_n, tree_w, tree_p, tree_child, tree_done, vroot,
-                c_puct, depth_limit, w_inv_scale=1.0, forced_k=0.0):
+                c_puct, depth_limit, w_inv_scale=1.0, forced_k=0.0,
+                root_action=None):
     """Single-env PUCT descent (vmapped over envs by the caller).
+
+    `root_action` (trace-time optional, int32[] when given) pins the
+    FIRST step of the descent to a fixed root child — the Gumbel search's
+    sequential-halving lanes (mcts/gumbel.py) descend PUCT below a forced
+    root edge. None (the default) leaves the classic path untouched.
 
     `vroot[A]` holds the pass's virtual root visits (leaf-parallel search):
     edges already claimed by earlier lanes of the same pass count as
@@ -192,6 +198,8 @@ def _select_one(tree_n, tree_w, tree_p, tree_child, tree_done, vroot,
                   & (nf_real * nf_real < forced_k * p_row * jnp.sum(nf_real)))
         score = jnp.where(forced, jnp.inf, score)
         a = jnp.argmax(score).astype(jnp.int32)
+        if root_action is not None:  # Gumbel lane: pin the root edge
+            a = jnp.where(depth == 0, root_action, a)
         ch = tree_child[cur, a].astype(jnp.int32)
         stop = revisit | (ch < 0)
         rec = ~revisit

@@ -44,7 +44,7 @@ from flax import struct
 from alphafive_tpu.config import EnvConfig, MCTSConfig
 from alphafive_tpu.env import vector
 from alphafive_tpu.env.vector import EnvState
-from alphafive_tpu.mcts import search
+from alphafive_tpu.mcts import gumbel, search
 
 
 def prune_forced_visits(visits: jnp.ndarray, priors: jnp.ndarray,
@@ -134,8 +134,18 @@ def selfplay_record(
     small = int(mcts_cfg.small_simulations or 0)
     full_budget = int(num_simulations or mcts_cfg.num_simulations)
     use_pcr = 0 < small < full_budget
+    use_gumbel = mcts_cfg.root_selection == "gumbel"
 
     def do_search(st, ks, sims, noise):
+        if use_gumbel:
+            # Gumbel root search (mcts/gumbel.py): exploration is the
+            # Gumbel noise itself, so self-play always samples it (noise
+            # distinguishes only the puct path's Dirichlet/forced
+            # playouts; cheap PCR plies here keep g-sampling — the paper's
+            # self-play acting at any budget).
+            return gumbel.run_gumbel_mcts(env_cfg, mcts_cfg, evaluate, st,
+                                          ks, add_noise=True,
+                                          num_simulations=sims)
         return search.run_mcts(env_cfg, mcts_cfg, evaluate, st, ks,
                                add_noise=noise, num_simulations=sims)
 
@@ -157,14 +167,23 @@ def selfplay_record(
         else:
             res = do_search(st, ks, num_simulations, True)
             pi_valid_ply = jnp.ones((st.board.shape[0],), bool)
-        target_visits = prune_forced_visits(
-            res.visits, res.priors, float(mcts_cfg.forced_playouts_k))
-        visit_sum = jnp.maximum(target_visits.sum(-1, keepdims=True), 1.0)
-        pi_target = target_visits / visit_sum
-        greedy = st.move_count >= mcts_cfg.temperature_moves
-        pi_act = search.pi_from_visits(
-            res.visits, jnp.ones(st.board.shape[0]), greedy)
-        action = search.sample_actions(ka, pi_act)
+        if use_gumbel:
+            # π target = improved policy, action = halving winner (the
+            # played move needs no temperature: Gumbel sampling IS the
+            # exploration, and the winner is a policy improvement even at
+            # tiny budgets — the north-star low-sim regime)
+            pi_target = res.pi_target
+            action = res.action
+        else:
+            target_visits = prune_forced_visits(
+                res.visits, res.priors, float(mcts_cfg.forced_playouts_k))
+            visit_sum = jnp.maximum(target_visits.sum(-1, keepdims=True),
+                                    1.0)
+            pi_target = target_visits / visit_sum
+            greedy = st.move_count >= mcts_cfg.temperature_moves
+            pi_act = search.pi_from_visits(
+                res.visits, jnp.ones(st.board.shape[0]), greedy)
+            action = search.sample_actions(ka, pi_act)
         nxt = vector.step(env_cfg, st, action)
         rec = (st.board, st.to_play, st.last_move, pi_target,
                nxt.done, nxt.winner, res.root_value, pi_valid_ply)

@@ -41,19 +41,27 @@ def _play_plies(env_cfg: EnvConfig, mcts_black: MCTSConfig,
     """Advance all live games by plies_per_call plies (jitted by caller)."""
 
     def do_search(mcts_cfg, evaluate, sims, st, k):
-        return search.run_mcts(env_cfg, mcts_cfg, evaluate, st, k,
-                               num_simulations=sims, add_noise=False)
+        """Greedy match-play action (branches return int32[E] so a
+        gumbel side and a puct side stay cond-compatible)."""
+        if mcts_cfg.root_selection == "gumbel":
+            from alphafive_tpu.mcts import gumbel
+            res = gumbel.run_gumbel_mcts(env_cfg, mcts_cfg, evaluate, st, k,
+                                         num_simulations=sims,
+                                         add_noise=False)
+            return res.action  # deterministic halving winner (g = 0)
+        res = search.run_mcts(env_cfg, mcts_cfg, evaluate, st, k,
+                              num_simulations=sims, add_noise=False)
+        return jnp.argmax(res.visits, axis=-1).astype(jnp.int32)
 
     def body(i, carry):
         st, key = carry
         key, ks = jax.random.split(key)
-        res = jax.lax.cond(
+        action = jax.lax.cond(
             (ply0 + i) % 2 == 0,
             lambda s, k: do_search(mcts_black, eval_black, sims_black, s, k),
             lambda s, k: do_search(mcts_white, eval_white, sims_white, s, k),
             st, ks)
         # greedy action; frozen envs step harmlessly (no-op)
-        action = jnp.argmax(res.visits, axis=-1).astype(jnp.int32)
         return vector.step(env_cfg, st, action), key
 
     state, _ = jax.lax.fori_loop(0, plies_per_call, body, (state, key))

@@ -1,0 +1,177 @@
+"""Gumbel sequential-halving root search (mcts/gumbel.py) vs the scalar
+NumPy oracle (reference.run_gumbel_reference): bit-equal visit counts and
+chosen actions on frozen evaluators, plus schedule, tactics, and
+actor/evaluate integration (SURVEY.md §4 "Unit (MCTS)" extended to the
+round-3 Gumbel addition).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alphafive_tpu.config import EnvConfig, MCTSConfig
+from alphafive_tpu.env.scalar import ScalarGomoku
+from alphafive_tpu.mcts import gumbel, reference
+from tests.test_mcts import (_int_value, random_midgame, to_env_state)
+
+
+# frozen evaluator with NON-ZERO logits (Gumbel scores live on g + logits)
+# computable bit-identically in NumPy and XLA: integer tables + one exact
+# float division, board-dependent value as in test_mcts.
+
+def _logit_table(size):
+    a = np.arange(size * size)
+    return (((a * 7 + 3) % 11 - 5) / np.float32(4)).astype(np.float32)
+
+
+def np_eval(size):
+    lt = _logit_table(size)
+
+    def evaluate(board, to_play, last):
+        del to_play, last
+        return lt.copy(), _int_value(board.astype(np.int32), size)
+    return evaluate
+
+
+def jax_eval(size):
+    lt = jnp.asarray(_logit_table(size))
+    weights = jnp.asarray((np.arange(size * size) % 5 - 2).astype(np.int32))
+
+    def evaluate(board, to_play, last, key):
+        del to_play, last, key
+        s = jnp.sum(board.astype(jnp.int32) * weights[None, :], axis=-1)
+        v = ((s % 7) - 3).astype(jnp.float32) / jnp.float32(8)
+        return jnp.broadcast_to(lt, (board.shape[0], lt.shape[0])), v
+    return evaluate
+
+
+def _gumbel_table(size, num_envs):
+    a = np.arange(size * size)[None, :]
+    e = np.arange(num_envs)[:, None]
+    return (((a * 13 + e * 29) % 17 - 8) / np.float32(8)).astype(np.float32)
+
+
+def test_build_schedule_spends_budget_exactly():
+    for budget, m in [(400, 16), (64, 16), (32, 16), (16, 16), (8, 16),
+                      (5, 4), (7, 16), (1, 16), (240, 16), (3, 2)]:
+        sched = gumbel.build_schedule(budget, m)
+        assert sum(l * p for l, p in sched) == budget, (budget, m, sched)
+        lanes = [l for l, _ in sched]
+        assert lanes == sorted(lanes, reverse=True)  # halving never grows
+        assert lanes[0] == min(m, budget)
+    # the paper's canonical split: 64 sims over m=16 -> 16 each phase
+    assert gumbel.build_schedule(64, 16) == [(16, 1), (8, 2), (4, 4), (2, 8)]
+
+
+@pytest.mark.parametrize("size,n_in_row,sims,plies,m", [
+    (5, 4, 30, 0, 8),    # empty board, full halving
+    (5, 4, 17, 8, 8),    # odd budget: 1-lane remainder group
+    (5, 4, 30, 18, 16),  # near-endgame: fewer legal moves than m -> padding
+    (9, 5, 32, 10, 16),
+])
+def test_gumbel_visit_and_action_parity(size, n_in_row, sims, plies, m):
+    env_cfg = EnvConfig(board_size=size, n_in_row=n_in_row)
+    mcts_cfg = MCTSConfig(num_simulations=sims, c_puct=5.0, gumbel_m=m,
+                          root_selection="gumbel")
+    games = [random_midgame(size, n_in_row, plies, seed)
+             for seed in (1, 2, 3, 4)]
+    state = to_env_state(games)
+    gtab = _gumbel_table(size, len(games))
+
+    run = jax.jit(functools.partial(
+        gumbel.run_gumbel_mcts, env_cfg, mcts_cfg, jax_eval(size)))
+    res = run(state, jax.random.key(0), gumbel=jnp.asarray(gtab))
+    visits = np.asarray(res.visits)
+    actions = np.asarray(res.action)
+    pis = np.asarray(res.pi_target)
+
+    for i, g in enumerate(games):
+        ref_n, ref_a, ref_pi = reference.run_gumbel_reference(
+            g, np_eval(size), sims, c_puct=5.0, gumbel=gtab[i], m=m)
+        np.testing.assert_array_equal(visits[i], ref_n, err_msg=f"env {i}")
+        assert actions[i] == ref_a, f"env {i}: {actions[i]} != {ref_a}"
+        np.testing.assert_allclose(pis[i], ref_pi, atol=1e-5,
+                                   err_msg=f"env {i}")
+        assert abs(pis[i].sum() - 1.0) < 1e-5
+
+
+def test_gumbel_win_in_one():
+    # black: 3 in a row open at both ends on 5x5 (n=4); 9 wins immediately
+    env_cfg = EnvConfig(board_size=5, n_in_row=4)
+    mcts_cfg = MCTSConfig(num_simulations=32, root_selection="gumbel")
+    g = ScalarGomoku(5, 4)
+    for mov in [6, 0, 7, 1, 8]:  # black 6,7,8 (row 1); white 0,1
+        g.step(mov)
+    g.step(2)  # white elsewhere; black to move, 5 or 9 completes 4-in-row
+    state = to_env_state([g])
+    res = jax.jit(functools.partial(
+        gumbel.run_gumbel_mcts, env_cfg, mcts_cfg, jax_eval(5),
+        add_noise=False))(state, jax.random.key(0))
+    action = int(np.asarray(res.action)[0])
+    assert action in (5, 9)  # either open end completes four in row 1
+    # and the improved policy concentrates on the winning moves
+    pi = np.asarray(res.pi_target)[0]
+    assert pi[5] + pi[9] > 0.5
+
+
+def test_gumbel_eval_deterministic():
+    env_cfg = EnvConfig(board_size=5, n_in_row=4)
+    mcts_cfg = MCTSConfig(num_simulations=16, root_selection="gumbel")
+    g = random_midgame(5, 4, 6, 11)
+    state = to_env_state([g])
+    run = jax.jit(functools.partial(
+        gumbel.run_gumbel_mcts, env_cfg, mcts_cfg, jax_eval(5),
+        add_noise=False))
+    a1 = int(np.asarray(run(state, jax.random.key(0)).action)[0])
+    a2 = int(np.asarray(run(state, jax.random.key(7)).action)[0])
+    assert a1 == a2  # g = 0: the key never enters the search
+
+
+def test_gumbel_selfplay_records_improved_policy():
+    from alphafive_tpu.train import actor
+
+    env_cfg = EnvConfig(board_size=5, n_in_row=4)
+    mcts_cfg = MCTSConfig(num_simulations=12, gumbel_m=8,
+                          root_selection="gumbel", temperature_moves=4)
+    state = __import__("alphafive_tpu.env.vector",
+                       fromlist=["init"]).init(env_cfg, 4)
+    fn = jax.jit(functools.partial(
+        actor.selfplay_chunk, env_cfg, mcts_cfg, jax_eval(5),
+        num_plies=25))
+    _, traj, stats = fn(state, jax.random.key(3))
+    pi = np.asarray(traj.pi)
+    board = np.asarray(traj.board)
+    # π' rows are legal-masked distributions
+    np.testing.assert_allclose(pi.sum(-1), 1.0, atol=1e-5)
+    assert (pi[board != 0] == 0).all()
+    assert int(stats.games_finished) >= 1  # 25 plies finish 5x5 games
+    # gumbel self-play with PCR: cheap plies are value-only targets
+    mcts_pcr = MCTSConfig(num_simulations=12, gumbel_m=8,
+                          root_selection="gumbel", small_simulations=4,
+                          full_sim_fraction=0.5)
+    fn = jax.jit(functools.partial(
+        actor.selfplay_chunk, env_cfg, mcts_pcr, jax_eval(5),
+        num_plies=12))
+    _, traj, _ = fn(state, jax.random.key(5))
+    pv = np.asarray(traj.pi_valid).reshape(12, 4)
+    assert pv.all(axis=1).any() and (~pv).all(axis=1).any()
+
+
+def test_gumbel_match_play_vs_puct():
+    """evaluate_vs accepts a gumbel side vs a puct side (the A/B harness
+    path used for the low-budget strength studies)."""
+    from alphafive_tpu.train.evaluate import evaluate_vs, random_openings
+
+    env_cfg = EnvConfig(board_size=5, n_in_row=4)
+    base = MCTSConfig(num_simulations=12)
+    gcfg = MCTSConfig(num_simulations=12, root_selection="gumbel",
+                      gumbel_m=8)
+    ev = jax_eval(5)
+    res = evaluate_vs(env_cfg, base, ev, ev, 12, 12, 4,
+                      jax.random.key(2), mcts_a=gcfg, mcts_b=base,
+                      opening_plies=2)
+    assert res["games"] == 4
+    assert 0.0 <= res["score"] <= 1.0
