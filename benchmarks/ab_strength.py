@@ -40,10 +40,12 @@ def apply_mcts_overrides(cfg, pairs):
 def time_search(env_cfg, mcts_cfg, evaluate, state, sims, key):
     import jax
     import numpy as np
-    from alphafive_tpu.mcts import search
+    from alphafive_tpu.mcts import gumbel, search
 
+    run = (gumbel.run_gumbel_mcts if mcts_cfg.root_selection == "gumbel"
+           else search.run_mcts)
     fn = jax.jit(functools.partial(
-        search.run_mcts, env_cfg, mcts_cfg, evaluate,
+        run, env_cfg, mcts_cfg, evaluate,
         num_simulations=sims, add_noise=False))
     np.asarray(fn(state, key).visits)  # warmup; full host readback —
     # block_until_ready alone under-reports through the remote-TPU tunnel
