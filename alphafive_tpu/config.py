@@ -435,9 +435,32 @@ def tiny_test() -> RunConfig:
     )
 
 
+def lowsim_15x15() -> RunConfig:
+    """The aggregate-throughput config (docs/NORTH_STAR.md §3): ≥1M
+    aggregate env-steps/s on v5p-16 is physically reachable only at
+    ≤16-average-sim budgets, and at budget 16 the Gumbel root search
+    (mcts/gumbel.py) delivers classic-root@32-sims strength
+    (PERFORMANCE.md "Gumbel root search": 0.492 ± 0.044 at half budget,
+    +106 Elo at equal budget). gumbel_m=16 makes the whole search ONE
+    16-lane batched forward per move — 2048 envs × 16 lanes = 32k-wide
+    leaf batches on the MXU with no sequential pass loop."""
+    return RunConfig(
+        name="lowsim_15x15",
+        env=EnvConfig(board_size=15),
+        net=NetConfig(blocks=4, channels=64),
+        mcts=MCTSConfig(num_simulations=16, max_depth=16,
+                        root_selection="gumbel", gumbel_m=16,
+                        prior_dtype="bfloat16", value_dtype="int16"),
+        replay=ReplayConfig(capacity=400_000, batch_size=512,
+                            min_fill=8_192),
+        train=TrainConfig(num_envs=2048, selfplay_plies_per_iter=32),
+    )
+
+
 PRESETS = {
     "smoke_9x9": smoke_9x9,
     "chip_15x15": chip_15x15,
+    "lowsim_15x15": lowsim_15x15,
     "host_15x15": host_15x15,
     "pod_v5p16": pod_v5p16,
     "renju_19x19": renju_19x19,

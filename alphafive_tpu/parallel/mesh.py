@@ -25,6 +25,7 @@ shardings, let XLA insert collectives — here there are none to insert).
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -136,7 +137,18 @@ def make_train_iteration(cfg: RunConfig, mesh: Mesh,
     One iteration = selfplay_plies_per_iter lockstep plies on every env +
     learner_steps_per_iter SGD steps (skipped until the buffer reaches
     min_fill). Metrics are host-ready scalars (replicated).
+
+    Memoized on (cfg, mesh, donate): a second `train()` call in the same
+    process (kill-and-resume after a tunnel flake, the smoke test's
+    resume leg) gets the SAME jitted callable back and skips the
+    ~10–20 s retrace + executable rebuild entirely.
     """
+    return _make_train_iteration_cached(cfg, mesh, donate)
+
+
+@functools.lru_cache(maxsize=8)
+def _make_train_iteration_cached(cfg: RunConfig, mesh: Mesh,
+                                 donate: bool) -> Callable:
     n = mesh.shape[DATA_AXIS]
 
     def _local_iteration(ts: TrainState, env_state: EnvState,

@@ -65,3 +65,19 @@ def test_play_pure_opponent_scripted(monkeypatch, capsys):
     out = capsys.readouterr().out
     assert rc == 0 or rc is None
     assert "AI plays" in out or "bye" in out
+
+
+def test_all_presets_construct_and_json_roundtrip():
+    """Every named preset (the BASELINE configs + training recipes +
+    lowsim_15x15) builds, serializes to JSON (the form embedded in every
+    checkpoint), and round-trips losslessly; gumbel presets satisfy the
+    search's branch_cap=None requirement (mcts/gumbel.py)."""
+    from alphafive_tpu.config import PRESETS, RunConfig
+
+    for name, make in PRESETS.items():
+        cfg = make()
+        assert cfg.name == name
+        back = RunConfig.from_json(cfg.to_json())
+        assert back == cfg, name
+        if cfg.mcts.root_selection == "gumbel":
+            assert cfg.mcts.branch_cap is None, name
