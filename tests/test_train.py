@@ -369,6 +369,40 @@ def test_multidevice_presets_compile_and_step(preset):
         np.testing.assert_array_equal(shards[0], s)
 
 
+def test_lowsim_gumbel_preset_multidevice():
+    """lowsim_15x15 (the NORTH_STAR.md aggregate config: gumbel root,
+    16 sims) runs its full training iteration under the 8-device SPMD
+    mesh at memory-reduced shape — the gumbel search path is otherwise
+    only exercised single-device (dryrun_multichip uses the classic
+    production search)."""
+    from alphafive_tpu.config import NetConfig, ReplayConfig, get_preset
+
+    n = 8
+    cfg = get_preset("lowsim_15x15")
+    assert cfg.mcts.root_selection == "gumbel"
+    cfg = dataclasses.replace(
+        cfg,
+        mesh=dataclasses.replace(cfg.mesh, data=n),
+        net=NetConfig(blocks=1, channels=8, value_hidden=8,
+                      compute_dtype="float32"),
+        replay=ReplayConfig(capacity=64 * n, batch_size=8 * n,
+                            min_fill=8 * n),
+        train=dataclasses.replace(cfg.train, num_envs=2 * n,
+                                  selfplay_plies_per_iter=4,
+                                  learner_steps_per_iter=2),
+    )
+    mesh = parallel.make_mesh(n)
+    carry = parallel.init_carry(cfg, jax.random.key(0), mesh)
+    it = parallel.make_train_iteration(cfg, mesh, donate=False)
+    carry, m = it(carry, jax.random.key(1))
+    carry, m = it(carry, jax.random.key(2))
+    assert float(m["updated"]) == 1.0 and np.isfinite(float(m["loss"]))
+    p0 = jax.tree.leaves(carry.train_state.params)[0]
+    shards = [np.asarray(s.data) for s in p0.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
 def test_ladder_sidecar_roundtrip(tmp_path):
     """Eval-time ladder mutations persist via the sidecar (evals run
     after the in-iteration checkpoint, so a crash in between must not
