@@ -83,6 +83,11 @@ def main(argv=None):
     sp.add_argument("--resume", action="store_true")
     sp.add_argument("--profile-iters", type=int, default=0,
                     help="capture a jax.profiler trace of N iterations")
+    sp.add_argument("--init-from", default=None, metavar="MODEL_DIR",
+                    help="warm-start a FRESH run from an exported model "
+                         "via function-preserving surgery (widen/deepen/"
+                         "board-resize, models/surgery.py); ignored when "
+                         "--resume finds a checkpoint")
     # multi-host (BASELINE.json:10): run the same command on every host;
     # on TPU pods the coordinator is auto-detected, so bare --multihost works
     sp.add_argument("--multihost", action="store_true",
@@ -135,7 +140,8 @@ def main(argv=None):
                                    args.process_id)
         from alphafive_tpu.train.loop import train
         train(cfg, workdir=args.workdir, total_iters=args.iters,
-              resume=args.resume, profile_iters=args.profile_iters)
+              resume=args.resume, profile_iters=args.profile_iters,
+              init_from=args.init_from)
     elif args.cmd == "eval":
         _cmd_eval(cfg, args)
     elif args.cmd == "play":

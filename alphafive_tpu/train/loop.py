@@ -29,12 +29,16 @@ from alphafive_tpu.utils.logging import MetricsLogger
 def train(cfg: RunConfig, workdir: Optional[str] = None,
           total_iters: Optional[int] = None, resume: bool = False,
           mesh=None, logger: Optional[MetricsLogger] = None,
-          profile_iters: int = 0):
+          profile_iters: int = 0, init_from: Optional[str] = None):
     """Run the pipeline. Returns (carry, ladder) for inspection.
 
     profile_iters > 0 captures a `jax.profiler` device trace of iterations
     [2, 2+profile_iters) into <workdir>/profile (SURVEY.md §5.1), viewable
     in TensorBoard / Perfetto.
+
+    init_from warm-starts a FRESH run's net from an exported model via
+    function-preserving surgery (models/surgery.py); a resumed checkpoint
+    takes precedence (the warm start already happened in that run).
     """
     total = total_iters if total_iters is not None else cfg.train.total_iters
     # multi-host: the global mesh spans all processes' devices; only the
@@ -75,6 +79,9 @@ def train(cfg: RunConfig, workdir: Optional[str] = None,
         while ladder.level > 0 and ladder.anchor_rollouts > ladder.max_rollouts:
             ladder.level -= 1
         log.log({"kind": "resume", "iter": start_iter})
+    elif init_from is not None:
+        carry = _apply_transfer_init(cfg, carry, init_from, key, mesh)
+        log.log({"kind": "transfer_init", "src": init_from})
 
     iteration = parallel.make_train_iteration(cfg, mesh)
     sims = cfg.mcts.num_simulations
@@ -134,6 +141,32 @@ def train(cfg: RunConfig, workdir: Optional[str] = None,
     if mgr is not None:
         ckpt.save(mgr, total, carry, key, cfg, ladder)
     return carry, ladder
+
+
+def _apply_transfer_init(cfg: RunConfig, carry, init_from: str,
+                         key: jax.Array, mesh):
+    """Replace the fresh carry's net with a surgery-transferred one.
+
+    The optimizer state is re-initialized for the transferred params (Adam
+    moments from the random init would be meaningless), everything else in
+    the carry (envs, replay, pending) is untouched.
+    """
+    from alphafive_tpu.models import surgery
+    from alphafive_tpu.parallel.mesh import carry_shardings
+    from alphafive_tpu.train import learner
+
+    src_params, src_bs, src_cfg = ckpt.load_model(init_from)
+    variables = surgery.transfer(
+        {"params": src_params, "batch_stats": src_bs},
+        src_cfg.env, src_cfg.net, cfg.env, cfg.net,
+        jax.random.fold_in(key, 0x5117))
+    opt = learner.make_optimizer(cfg.train)
+    ts = carry.train_state.replace(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=opt.init(variables["params"]))
+    carry = carry.replace(train_state=ts)
+    return jax.device_put(carry, carry_shardings(mesh, carry))
 
 
 def _write_ladder_sidecar(workdir: str, iteration: int,
