@@ -206,6 +206,15 @@ def _load_model(cfg, workdir):
                 print(f"restored checkpoint step {mgr.latest_step()} "
                       f"from {workdir}/ckpt", file=sys.stderr)
                 return ts.params, ts.batch_stats, saved_cfg.net
+        if os.path.exists(f"{workdir}/model.msgpack"):
+            # a params-only export dir (train/checkpoint.py export_model)
+            # works anywhere a run dir does — eval/play straight off a
+            # bundled or surgery-produced artifact
+            params, batch_stats, saved_cfg = ckpt.load_model(workdir)
+            assert saved_cfg.env.board_size == cfg.env.board_size, (
+                "exported model board size differs from preset")
+            print(f"loaded exported model from {workdir}", file=sys.stderr)
+            return params, batch_stats, saved_cfg.net
         print(f"WARNING: no checkpoint under {workdir}/ckpt — using a "
               f"fresh (untrained) net", file=sys.stderr)
         from alphafive_tpu.models.resnet import init_variables

@@ -81,3 +81,28 @@ def test_all_presets_construct_and_json_roundtrip():
         assert back == cfg, name
         if cfg.mcts.root_selection == "gumbel":
             assert cfg.mcts.branch_cap is None, name
+
+
+def test_load_model_accepts_export_dir(tmp_path):
+    """--workdir pointing at a params-only export dir (export_model)
+    loads the model instead of warning and falling back to a fresh net."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from alphafive_tpu import cli
+    from alphafive_tpu.config import get_preset
+    from alphafive_tpu.train import checkpoint as ckpt, learner
+
+    cfg = get_preset("tiny_test")
+    cfg = dataclasses.replace(cfg, mesh=dataclasses.replace(cfg.mesh, data=1))
+    ts = learner.init_train_state(cfg.env, cfg.net, cfg.train,
+                                  jax.random.key(9))
+    d = str(tmp_path / "export")
+    ckpt.export_model(d, ts.params, ts.batch_stats, cfg)
+    params, batch_stats, net_cfg = cli._load_model(cfg, d)
+    assert net_cfg == cfg.net
+    np.testing.assert_array_equal(
+        np.asarray(params["stem_conv"]["kernel"]),
+        np.asarray(ts.params["stem_conv"]["kernel"]))
