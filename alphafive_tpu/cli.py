@@ -21,9 +21,23 @@ import sys
 from typing import List, Optional
 
 
-def _parse_override_value(raw: str, old):
+def _is_optional_field(sub, field: str) -> bool:
+    import typing
+    hint = typing.get_type_hints(type(sub)).get(field)
+    return hint is not None and type(None) in typing.get_args(hint)
+
+
+def _parse_override_value(raw: str, old, optional: bool = False):
     if raw.lower() in ("none", "null"):
-        return None
+        # only Optional fields may be cleared: --set mcts.num_simulations=none
+        # would otherwise plant a None that detonates deep in search setup
+        # (round-3 advisor finding — the mirror image of the non-numeric
+        # ValueError below)
+        if optional or old is None:
+            return None
+        raise ValueError(
+            f"override value {raw!r} only applies to Optional fields; "
+            f"this field has type {type(old).__name__}")
     if isinstance(old, bool):
         return raw.lower() in ("1", "true", "yes")
     if old is None:  # Optional field (e.g. mcts.branch_cap/max_depth)
@@ -47,7 +61,8 @@ def _apply_overrides(cfg, overrides: List[str]):
         assert raw, f"bad override {ov!r} (want section.field=value)"
         section, _, field = path.partition(".")
         sub = getattr(cfg, section)
-        val = _parse_override_value(raw, getattr(sub, field))
+        val = _parse_override_value(raw, getattr(sub, field),
+                                    optional=_is_optional_field(sub, field))
         cfg = dataclasses.replace(
             cfg, **{section: dataclasses.replace(sub, **{field: val})})
     return cfg

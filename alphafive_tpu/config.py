@@ -440,8 +440,9 @@ def lowsim_15x15() -> RunConfig:
     aggregate env-steps/s on v5p-16 is physically reachable only at
     ≤16-average-sim budgets, and at budget 16 the Gumbel root search
     (mcts/gumbel.py) delivers classic-root@32-sims strength
-    (PERFORMANCE.md "Gumbel root search": 0.492 ± 0.044 at half budget,
-    +106 Elo at equal budget). gumbel_m=16 makes the whole search ONE
+    (PERFORMANCE.md "Gumbel root search", pooled 256-game finals:
+    0.512 ± 0.031 at half budget, +77 Elo at equal budget).
+    gumbel_m=16 makes the whole search ONE
     16-lane batched forward per move — 2048 envs × 16 lanes = 32k-wide
     leaf batches on the MXU with no sequential pass loop."""
     return RunConfig(

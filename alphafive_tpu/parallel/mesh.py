@@ -175,8 +175,12 @@ def _make_train_iteration_cached(cfg: RunConfig, mesh: Mesh,
         swap = lambda tree: jax.tree.map(
             lambda x: jnp.swapaxes(x, 0, 1), tree)
         traj = actor.resolve_chunk(cfg.env, swap(pending), lookahead=recs)
+        # capture the gate BEFORE has_pending is reset below: the metric
+        # must report 0 coverage on iteration 0 (nothing was written), not
+        # the z_valid fraction of the zeroed staging buffer
+        wrote = has_pending[0]
         buf = jax.lax.cond(
-            has_pending[0],
+            wrote,
             lambda b: replay_buffer.write(
                 b, traj.board, traj.to_play, traj.last_move, traj.pi,
                 traj.z, traj.z_valid, traj.pi_valid),
@@ -276,7 +280,7 @@ def _make_train_iteration_cached(cfg: RunConfig, mesh: Mesh,
             # collapse forensics made this a first-class diagnostic)
             z_valid_frac=jax.lax.pmean(
                 traj.z_valid.astype(jnp.float32).mean()
-                * has_pending[0], DATA_AXIS),
+                * wrote.astype(jnp.float32), DATA_AXIS),
         )
 
         # restore per-shard ring pointer layout ([1] per device)

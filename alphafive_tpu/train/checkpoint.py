@@ -138,16 +138,35 @@ def restore(mgr: ocp.CheckpointManager, carry_like: TrainCarry,
             ) -> Tuple[int, TrainCarry, jax.Array, RunConfig, LadderState]:
     step = iteration if iteration is not None else mgr.latest_step()
     assert step is not None, "no checkpoint found"
-    target = {
-        "carry": carry_like,
-        "key": jax.random.key_data(jax.random.key(0)),
-    }
-    out = mgr.restore(step, args=ocp.args.Composite(
-        state=ocp.args.StandardRestore(target),
-        meta=ocp.args.JsonRestore(),
-    ))
+    key0 = jax.random.key_data(jax.random.key(0))
+    try:
+        out = mgr.restore(step, args=ocp.args.Composite(
+            state=ocp.args.StandardRestore(
+                {"carry": carry_like, "key": key0}),
+            meta=ocp.args.JsonRestore(),
+        ))
+        carry = out["state"]["carry"]
+    except Exception:
+        # Pre-round-3 checkpoints lack TrainCarry.pending/has_pending
+        # (the z-lookahead staging slot), so a full-structure restore hits
+        # an orbax structure mismatch (ADVICE.md round 3). Restore the
+        # old-format subset and default the new fields to their init-carry
+        # values: an empty staging slot whose first write stays gated off.
+        out = mgr.restore(step, args=ocp.args.Composite(
+            state=ocp.args.StandardRestore({
+                "carry": {"train_state": carry_like.train_state,
+                          "env_state": carry_like.env_state,
+                          "buffer": carry_like.buffer},
+                "key": key0}),
+            meta=ocp.args.JsonRestore(),
+        ))
+        c = out["state"]["carry"]
+        carry = TrainCarry(
+            train_state=c["train_state"], env_state=c["env_state"],
+            buffer=c["buffer"], pending=carry_like.pending,
+            has_pending=carry_like.has_pending)
     meta = out["meta"]
     cfg = RunConfig.from_json(meta["config"])
     ladder = _ladder_from_dict(json.loads(meta["ladder"]))
     key = jax.random.wrap_key_data(out["state"]["key"])
-    return int(meta["iteration"]), out["state"]["carry"], key, cfg, ladder
+    return int(meta["iteration"]), carry, key, cfg, ladder

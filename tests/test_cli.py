@@ -41,6 +41,18 @@ def test_apply_overrides_rejects_garbage():
     # none/null still clears Optional fields
     assert cli._apply_overrides(
         cfg, ["mcts.branch_cap=none"]).mcts.branch_cap is None
+    # ...even Optional fields whose current value is set (declared-type
+    # check, not value check)
+    import dataclasses
+    cfg_set = dataclasses.replace(
+        cfg, mcts=dataclasses.replace(cfg.mcts, branch_cap=32))
+    assert cli._apply_overrides(
+        cfg_set, ["mcts.branch_cap=null"]).mcts.branch_cap is None
+    # but a REQUIRED field must refuse none/null loudly instead of
+    # planting a None that detonates deep in search setup (round-3
+    # advisor finding)
+    with pytest.raises(ValueError, match="Optional"):
+        cli._apply_overrides(cfg, ["mcts.num_simulations=none"])
 
 
 def test_play_pure_opponent_scripted(monkeypatch, capsys):

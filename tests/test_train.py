@@ -192,6 +192,9 @@ def test_train_iteration_z_coverage(tiny):
     # 5x5/n4 games last ~8-20 plies: in-chunk-only coverage of 7-ply
     # chunks would be far below this; lookahead lifts it near 1
     assert np.mean(fracs[1:]) > 0.75, fracs
+
+
+def test_decoupled_decay_is_coefficient_bounded(tiny):
     """Round-3 head-collapse regression (train/learner.py docstring): under
     the old L2-in-loss + Adam, a vanishing data gradient let the normalized
     L2 gradient zero kernels at ~lr per step. With decoupled decay, a
@@ -441,6 +444,53 @@ def test_checkpoint_roundtrip(tiny, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(np.asarray(carry.buffer.board),
                                   np.asarray(carry2.buffer.board))
+
+
+def test_checkpoint_restores_pre_lookahead_format(tiny, tmp_path):
+    """Pre-round-3 checkpoints lack TrainCarry.pending/has_pending; restore
+    must tolerate them (round-3 advisor finding: the train_retry.sh
+    --resume workflow would die on an orbax structure mismatch)."""
+    import orbax.checkpoint as ocp
+
+    from alphafive_tpu.train import checkpoint as ckpt
+    from alphafive_tpu.utils.elo import LadderState
+
+    cfg = dataclasses.replace(
+        tiny, mesh=dataclasses.replace(tiny.mesh, data=1))
+    mesh = parallel.make_mesh(1)
+    carry = parallel.init_carry(cfg, jax.random.key(0), mesh)
+
+    # hand-write an OLD-format checkpoint: carry as a dict WITHOUT the
+    # round-3 staging fields (this is exactly the saved structure of a
+    # pre-lookahead TrainCarry — orbax keys pytrees by field name)
+    mgr = ckpt.make_manager(str(tmp_path / "old"))
+    import dataclasses as dc
+    import json as js
+    old_state = {
+        "carry": {"train_state": carry.train_state,
+                  "env_state": carry.env_state,
+                  "buffer": carry.buffer},
+        "key": jax.random.key_data(jax.random.key(5)),
+    }
+    meta = {"config": cfg.to_json(),
+            "ladder": js.dumps(dc.asdict(LadderState(level=3))),
+            "iteration": 11}
+    mgr.save(11, args=ocp.args.Composite(
+        state=ocp.args.StandardSave(old_state),
+        meta=ocp.args.JsonSave(meta)))
+    mgr.wait_until_finished()
+
+    carry0 = parallel.init_carry(cfg, jax.random.key(123), mesh)
+    it2, carry2, key2, cfg2, ladder2 = ckpt.restore(mgr, carry0)
+    assert it2 == 11 and ladder2.level == 3
+    for a, b in zip(jax.tree.leaves(carry.train_state.params),
+                    jax.tree.leaves(carry2.train_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # new fields default to the init-carry values: gated-off staging slot
+    assert not bool(carry2.has_pending[0])
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(key2)),
+        np.asarray(jax.random.key_data(jax.random.key(5))))
 
 
 def test_graft_entry_single_and_multichip():
