@@ -127,10 +127,13 @@ def run_gumbel_mcts(
     — play the argmax of logits + σ(q̂), the eval-time behavior).
     `gumbel` injects a fixed g table (oracle-parity tests).
     """
-    assert mcts_cfg.branch_cap is None, (
-        "root_selection='gumbel' requires branch_cap=None (the slot-tree "
-        "layout has no forced-root hook yet)")
     sims = int(num_simulations or mcts_cfg.num_simulations)
+    if mcts_cfg.branch_cap is not None:
+        # production slot-tree layout: the halving lanes force root SLOTS
+        # via search_capped._select_lanes' forced_slots hook
+        return _run_gumbel_capped(env_cfg, mcts_cfg, evaluate, state, key,
+                                  sims=sims, add_noise=add_noise,
+                                  gumbel=gumbel)
     e, a = state.board.shape
     schedule = build_schedule(sims, min(int(mcts_cfg.gumbel_m), a))
     m = schedule[0][0]
@@ -311,9 +314,21 @@ def run_gumbel_mcts(
     w_root = tree.w[:, 0, :].astype(jnp.float32).sum(-1) / w_scale
     root_value = jnp.where(n_sum > 0, w_root / jnp.maximum(n_sum, 1.0), 0.0)
 
-    # improved policy π' = softmax(logits + σ(completed Q)) (paper §4):
-    # unvisited actions complete with the mixed value estimate
-    # v_mix = (v_net + ΣN · Σ_visited π q / Σ_visited π) / (1 + ΣN)
+    pi_target = _pi_target(root_logits, root_legal, root_p, root_v,
+                           n0, q, c_visit, c_scale)
+
+    return GumbelResult(visits=n0, root_value=root_value, priors=root_p,
+                        action=action.astype(jnp.int32),
+                        pi_target=pi_target)
+
+
+def _pi_target(root_logits, root_legal, root_p, root_v, n0, q,
+               c_visit, c_scale):
+    """Improved policy π' = softmax(logits + σ(completed Q)) (paper §4):
+    unvisited actions complete with the mixed value estimate
+    v_mix = (v_net + ΣN · Σ_visited π q / Σ_visited π) / (1 + ΣN).
+    All inputs are ACTION-space [E, A] (q is W/N where visited, else 0)."""
+    n_sum = n0.sum(-1)
     visited = n0 > 0
     pi_vis = jnp.where(visited, root_p, 0.0)
     sum_pi_vis = pi_vis.sum(-1)
@@ -323,9 +338,195 @@ def run_gumbel_mcts(
         (root_v.astype(jnp.float32) + n_sum * wq) / (1.0 + n_sum),
         root_v.astype(jnp.float32))
     completed = jnp.where(visited, q, v_mix[:, None])
-    pi_target = masked_softmax(
+    return masked_softmax(
         root_logits + _sigma_q(n0, completed, c_visit, c_scale), root_legal)
 
-    return GumbelResult(visits=n0, root_value=root_value, priors=root_p,
+
+def _run_gumbel_capped(
+    env_cfg: EnvConfig,
+    mcts_cfg: MCTSConfig,
+    evaluate: Evaluator,
+    state: EnvState,
+    key: jax.Array,
+    *,
+    sims: int,
+    add_noise: bool,
+    gumbel: Optional[jnp.ndarray],
+) -> GumbelResult:
+    """Gumbel sequential halving over the branch-capped slot tree
+    (mcts/search_capped.py — the production layout at 15×15/19×19).
+
+    Layout marriage: the root's slot table is built from the top-m
+    candidates BY g + logits (not by prior — below the root, slots stay
+    prior-ordered as usual), so halving lane j IS root slot j and the
+    forced-root hook in search_capped._select_lanes just overrides the
+    depth-0 slot choice. Distinct slots lead to disjoint subtrees, so the
+    wavefront's computed virtual visits are zero except for deliberately
+    duplicated lanes (envs with fewer than m legal moves map their illegal
+    candidates onto slot 0, sharing its subtree — the same duplicate-lane
+    semantics as the uncapped driver's action duplication). Everything
+    below the root — wavefront descent, dedup expansion, packed-s32 stats,
+    one batched forward per pass — is search_capped._run_pass verbatim.
+
+    Interior nodes keep the top-C-by-prior cap; the root keeps ALL of the
+    gumbel candidates (m <= C asserted), so no candidate the halving
+    schedule wants to visit is ever slot-dropped."""
+    from alphafive_tpu.mcts.search_capped import (CappedTree, _run_pass,
+                                                  _top_c)
+
+    e, a = state.board.shape
+    c = min(int(mcts_cfg.branch_cap), a)
+    schedule = build_schedule(sims, min(int(mcts_cfg.gumbel_m), a, c))
+    m = schedule[0][0]
+    nn = sims + 1
+    depth_limit = min(nn, mcts_cfg.max_depth or nn)
+    prior_dtype = (jnp.bfloat16 if mcts_cfg.prior_dtype == "bfloat16"
+                   else jnp.float32)
+    fixed_w = mcts_cfg.value_dtype == "int16" and nn <= 511
+    value_dtype = jnp.int16 if fixed_w else jnp.float32
+    w_scale = 64.0 if fixed_w else 1.0
+    packed = fixed_w
+    c_puct = jnp.float32(mcts_cfg.c_puct)
+    c_visit = float(mcts_cfg.gumbel_c_visit)
+    c_scale = float(mcts_cfg.gumbel_c_scale)
+    assert nn <= 32767
+    assert c <= 256, "branch_cap must be <= 256 (path packs slot in 8 bits)"
+
+    key, kg, keval = jax.random.split(key, 3)
+
+    if packed:
+        stats = dict(n=jnp.zeros((e, nn, c), jnp.int32), w=None)
+    else:
+        stats = dict(n=jnp.zeros((e, nn, c), jnp.uint16),
+                     w=jnp.zeros((e, nn, c), value_dtype))
+    tree = CappedTree(
+        **stats,
+        p=jnp.full((e, nn, c), -1.0, prior_dtype),
+        child=jnp.full((e, nn, c), -1, jnp.int16),
+        cand_act=jnp.zeros((e, nn, c), jnp.int16),
+        node_done=jnp.zeros((e, nn), bool),
+        node_winner=jnp.zeros((e, nn), jnp.int8),
+        node_to_play=jnp.ones((e, nn), jnp.int8),
+        node_last=jnp.full((e, nn), -1, jnp.int32),
+        node_count=jnp.zeros((e, nn), jnp.int32),
+        node_board=jnp.zeros((e, nn, a), jnp.int8),
+    )
+    tree = tree.replace(
+        node_board=tree.node_board.at[:, 0].set(state.board),
+        node_to_play=tree.node_to_play.at[:, 0].set(state.to_play),
+        node_last=tree.node_last.at[:, 0].set(state.last_move),
+        node_count=tree.node_count.at[:, 0].set(state.move_count),
+        node_done=tree.node_done.at[:, 0].set(state.done),
+        node_winner=tree.node_winner.at[:, 0].set(state.winner),
+    )
+
+    root_logits, root_v = evaluate(state.board, state.to_play,
+                                   state.last_move, keval)
+    root_logits = root_logits.astype(jnp.float32)
+    root_legal = state.board == 0
+    root_p = masked_softmax(root_logits, root_legal)
+
+    if gumbel is not None:
+        g = gumbel.astype(jnp.float32)
+    elif add_noise:
+        g = jax.random.gumbel(kg, (e, a), jnp.float32)
+    else:
+        g = jnp.zeros((e, a), jnp.float32)
+    glogits = jnp.where(root_legal, g + root_logits, -jnp.inf)
+
+    # top-m candidates by g + logits become root slots 0..m-1 (EXACT
+    # top_k: a dropped root candidate would get zero π' mass). Envs with
+    # fewer than m legal moves map their illegal candidates onto slot 0 —
+    # duplicate lanes share the best slot's subtree.
+    _, cand = jax.lax.top_k(glogits, m)                        # [E, m]
+    cand = cand.astype(jnp.int32)
+    cand_legal = jnp.take_along_axis(root_legal, cand, axis=1)
+    cand_act_root = jnp.where(cand_legal, cand, cand[:, :1])
+    cand_slots = jnp.where(cand_legal,
+                           jnp.arange(m, dtype=jnp.int32)[None, :], 0)
+    slot_p = jnp.where(cand_legal,
+                       jnp.take_along_axis(root_p, cand_act_root, axis=1),
+                       -1.0)
+    p_row = jnp.full((e, c), -1.0, jnp.float32).at[:, :m].set(slot_p)
+    act_row = jnp.zeros((e, c), jnp.int16).at[:, :m].set(
+        cand_act_root.astype(jnp.int16))
+    tree = tree.replace(
+        p=tree.p.at[:, 0].set(p_row.astype(prior_dtype)),
+        cand_act=tree.cand_act.at[:, 0].set(act_row))
+    # g + logits per root SLOT (illegal/pad slots -inf; only slots that
+    # cand_slots can reference ever compete in the halving top_k)
+    glogits_slot = jnp.full((e, c), -jnp.inf).at[:, :m].set(
+        jnp.where(cand_legal,
+                  jnp.take_along_axis(glogits, cand_act_root, axis=1),
+                  -jnp.inf))
+
+    earange = jnp.arange(e)
+
+    def root_stats(tree):
+        if packed:
+            row = tree.n[:, 0, :]
+            n0 = (row & 0xFFFF).astype(jnp.float32)            # [E, C]
+            w0 = (row >> 16).astype(jnp.float32) / w_scale
+        else:
+            n0 = tree.n[:, 0, :].astype(jnp.float32)
+            w0 = tree.w[:, 0, :].astype(jnp.float32) / w_scale
+        q = jnp.where(n0 > 0, w0 / jnp.maximum(n0, 1.0), 0.0)
+        return n0, w0, q
+
+    def cand_scores(tree, cand_slots):
+        """g + logits + σ(q̂) at the current survivor slots ([E, lanes])."""
+        n0, _, q = root_stats(tree)
+        score_all = glogits_slot + _sigma_q(n0, q, c_visit, c_scale)
+        return jnp.take_along_axis(score_all, cand_slots, axis=1)
+
+    base0 = 1
+    done_passes = 0
+    for lb, passes in schedule:
+        if cand_slots.shape[1] != lb:  # halve: keep the top-lb survivors
+            sc = cand_scores(tree, cand_slots)
+            _, keep = jax.lax.top_k(sc, lb)
+            cand_slots = jnp.take_along_axis(
+                cand_slots, keep.astype(jnp.int32), axis=1)
+        # a descent in global pass p records at most p + 1 edges (the tree
+        # deepens by <= 1 level per pass), so this group's static depth
+        # cap only needs to reach done_passes + passes
+        d_group = max(1, min(depth_limit, done_passes + passes))
+        forced = cand_slots
+
+        def group_body(i, carry, lb=lb, d_group=d_group, forced=forced,
+                       base0=base0):
+            tree, key = carry
+            return _run_pass(
+                env_cfg, evaluate, tree, key, base=base0 + i * lb,
+                d=d_group, lb=lb, c=c, packed=packed, fixed_w=fixed_w,
+                w_scale=w_scale, prior_dtype=prior_dtype, c_puct=c_puct,
+                forced_k=jnp.float32(0.0), forced_slots=forced)
+
+        tree, key = jax.lax.fori_loop(0, passes, group_body, (tree, key))
+        base0 += lb * passes
+        done_passes += passes
+
+    # final action: best surviving candidate by g + logits + σ(q̂)
+    sc = cand_scores(tree, cand_slots)
+    act0 = tree.cand_act[:, 0, :].astype(jnp.int32)            # [E, C]
+    cand_acts = jnp.take_along_axis(act0, cand_slots, axis=1)
+    action = jnp.take_along_axis(
+        cand_acts, jnp.argmax(sc, axis=1)[:, None], axis=1)[:, 0]
+
+    # scatter slot stats back onto the action space (duplicated slots —
+    # the <m-legal case — merge by summing N and W, then re-deriving Q)
+    n0, w0, _ = root_stats(tree)
+    visits = jnp.zeros((e, a), jnp.float32).at[
+        earange[:, None], act0].add(n0)
+    w_a = jnp.zeros((e, a), jnp.float32).at[
+        earange[:, None], act0].add(w0)
+    q_a = jnp.where(visits > 0, w_a / jnp.maximum(visits, 1.0), 0.0)
+    n_sum = n0.sum(-1)
+    root_value = jnp.where(n_sum > 0,
+                           w0.sum(-1) / jnp.maximum(n_sum, 1.0), 0.0)
+
+    pi_target = _pi_target(root_logits, root_legal, root_p, root_v,
+                           visits, q_a, c_visit, c_scale)
+    return GumbelResult(visits=visits, root_value=root_value, priors=root_p,
                         action=action.astype(jnp.int32),
                         pi_target=pi_target)

@@ -91,7 +91,7 @@ def _top_c(p_signed: jnp.ndarray, c: int, prior_dtype, exact: bool = False):
 
 def _select_lanes(stat_a, stat_b, tree_p, tree_child, tree_done,
                   c_puct, depth_limit, w_inv_scale, forced_k, num_slots,
-                  packed, lb):
+                  packed, lb, forced_slots=None):
     """WAVEFRONT-PIPELINED PUCT descent: all ``lb`` lanes of a pass in
     ONE while_loop. Lane j starts at loop iteration j and every active
     lane takes one step per iteration, so the sequential iteration count
@@ -201,6 +201,12 @@ def _select_lanes(stat_a, stat_b, tree_p, tree_child, tree_done,
                      * jnp.sum(nf_real, axis=-1, keepdims=True)))
         score = jnp.where(forced, jnp.inf, score)
         s = jnp.argmax(score, axis=-1).astype(jnp.int32)       # [E,LB]
+        if forced_slots is not None:
+            # forced-root hook (gumbel sequential halving): lane j's first
+            # step always takes its assigned root slot — distinct slots
+            # mean disjoint subtrees, so the virtual-visit matches below
+            # stay zero except for deliberately duplicated lanes
+            s = jnp.where(depth == 0, forced_slots, s)
         ch = tree_child[eidx, cur, s].astype(jnp.int32)
         stop_now = revisit | (ch < 0)
         rec = active & ~revisit
@@ -223,6 +229,111 @@ def _select_lanes(stat_a, stat_b, tree_p, tree_child, tree_done,
             jnp.zeros((e, lb, d), jnp.int32))
     _, cur, depth, _, sel, ppas = jax.lax.while_loop(cond, body, init)
     return cur, sel, depth, ppas
+
+
+def _run_pass(env_cfg, evaluate, tree, key, *, base, d, lb, c, packed,
+              fixed_w, w_scale, prior_dtype, c_puct, forced_k,
+              forced_slots=None):
+    """One leaf-parallel pass over the capped tree: wavefront select of
+    `lb` lanes, batched env.step + net forward, dedup expansion at node
+    ids [base, base + lb), combined backup scatter. Shared by the classic
+    driver (run_mcts_capped) and the gumbel halving driver
+    (mcts/gumbel.py), which forces each lane's first step to its assigned
+    root slot via `forced_slots` [E, lb]."""
+    e = tree.node_done.shape[0]
+    earange = jnp.arange(e)
+    key, keval = jax.random.split(key)
+
+    # select lb leaves in one wavefront-pipelined loop; full-path
+    # virtual visits computed from the already-recorded path buffers
+    # (big tree arrays stay immutable for the whole select phase —
+    # see _select_lanes)
+    lps, slots, deps, ppas = _select_lanes(
+        tree.n, tree.n if packed else tree.w, tree.p, tree.child,
+        tree.node_done, c_puct, d, 1.0 / w_scale, forced_k, c,
+        packed, lb, forced_slots)
+    pns, pas = ppas >> 8, ppas & 255                       # [E, lb, D]
+
+    is_revisit = slots < 0
+    safe_slot = jnp.maximum(slots, 0)
+    eidx2 = earange[:, None]
+    safe_act = tree.cand_act[eidx2, lps, safe_slot].astype(jnp.int32)
+
+    parent_state = EnvState(
+        board=tree.node_board[eidx2, lps],
+        to_play=tree.node_to_play[eidx2, lps],
+        last_move=tree.node_last[eidx2, lps],
+        move_count=tree.node_count[eidx2, lps],
+        done=tree.node_done[eidx2, lps],
+        winner=tree.node_winner[eidx2, lps],
+    )
+    flat = lambda x: x.reshape((e * lb,) + x.shape[2:])
+    unflat = lambda x: x.reshape((e, lb) + x.shape[1:])
+    stepped = jax.tree.map(unflat, vector.step(
+        env_cfg, jax.tree.map(flat, parent_state), flat(safe_act)))
+
+    def sel_(a_, b_):
+        m = is_revisit.reshape(is_revisit.shape + (1,) * (a_.ndim - 2))
+        return jnp.where(m, a_, b_)
+
+    leaf_state = jax.tree.map(sel_, parent_state, stepped)
+
+    edge_key = lps * c + safe_slot
+    expanding = ~is_revisit
+    same = ((edge_key[:, :, None] == edge_key[:, None, :])
+            & expanding[:, :, None] & expanding[:, None, :])
+    jj = jnp.arange(lb, dtype=jnp.int32)
+    first_lane = jnp.where(same, jj[None, None, :], lb).min(-1)
+    link_id = base + first_lane
+    is_first = expanding & (first_lane == jj[None, :])
+    link_add = jnp.where(is_first, link_id + 1, 0).astype(jnp.int16)
+
+    # ONE batched evaluation per pass
+    logits_f, v_f = evaluate(flat(leaf_state.board),
+                             flat(leaf_state.to_play),
+                             flat(leaf_state.last_move), keval)
+    logits, v = unflat(logits_f), unflat(v_f)
+    leaf_value = jnp.where(
+        leaf_state.done,
+        (leaf_state.winner * leaf_state.to_play).astype(jnp.float32),
+        v.astype(jnp.float32))
+    child_legal = stepped.board == 0
+    child_p = masked_softmax(logits, child_legal)
+    slot_p, slot_act = _top_c(
+        jnp.where(child_legal, child_p, -1.0), c, prior_dtype)
+
+    upd = lambda arr, u: jax.lax.dynamic_update_slice_in_dim(
+        arr, u, base, axis=1)
+    tree = tree.replace(
+        node_board=upd(tree.node_board, stepped.board),
+        node_to_play=upd(tree.node_to_play, stepped.to_play),
+        node_last=upd(tree.node_last, stepped.last_move),
+        node_count=upd(tree.node_count, stepped.move_count),
+        node_done=upd(tree.node_done, stepped.done),
+        node_winner=upd(tree.node_winner, stepped.winner),
+        p=upd(tree.p, slot_p),
+        cand_act=upd(tree.cand_act, slot_act),
+        child=tree.child.at[eidx2, lps, safe_slot].add(link_add),
+    )
+
+    dn = jnp.arange(d)[None, None, :]
+    on_path = dn < deps[:, :, None]
+    exp_ = (deps[:, :, None] - dn).astype(jnp.int32)
+    sign = jnp.where(exp_ % 2 == 0, 1.0, -1.0)
+    vals = jnp.where(on_path, sign * leaf_value[:, :, None], 0.0)
+    eidx3 = earange[:, None, None]
+    if packed:
+        # one combined (value << 16) + visit scatter per pass
+        delta = ((jnp.round(vals * w_scale).astype(jnp.int32) << 16)
+                 + on_path.astype(jnp.int32))
+        tree = tree.replace(n=tree.n.at[eidx3, pns, pas].add(delta))
+    else:
+        if fixed_w:
+            vals = jnp.round(vals * w_scale).astype(jnp.int16)
+        tree = tree.replace(
+            n=tree.n.at[eidx3, pns, pas].add(on_path.astype(jnp.uint16)),
+            w=tree.w.at[eidx3, pns, pas].add(vals))
+    return tree, key
 
 
 def run_mcts_capped(
@@ -310,106 +421,15 @@ def run_mcts_capped(
 
     def make_pass_body(d):
         # `d` is the static path-depth cap for ONE stage of passes (see
-        # the staged loop below); everything inside is unchanged
+        # the staged loop below); the body itself is the shared _run_pass
         def pass_body(p_, carry):
-            return _pass_body(p_, carry, d)
+            tree, key = carry
+            return _run_pass(
+                env_cfg, evaluate, tree, key, base=1 + p_ * lb, d=d,
+                lb=lb, c=c, packed=packed, fixed_w=fixed_w,
+                w_scale=w_scale, prior_dtype=prior_dtype, c_puct=c_puct,
+                forced_k=forced_k)
         return pass_body
-
-    def _pass_body(p_, carry, d):
-        tree, key = carry
-        key, keval = jax.random.split(key)
-
-        # select lb leaves in one wavefront-pipelined loop; full-path
-        # virtual visits computed from the already-recorded path buffers
-        # (big tree arrays stay immutable for the whole select phase —
-        # see _select_lanes)
-        lps, slots, deps, ppas = _select_lanes(
-            tree.n, tree.n if packed else tree.w, tree.p, tree.child,
-            tree.node_done, c_puct, d, 1.0 / w_scale, forced_k, c,
-            packed, lb)
-        pns, pas = ppas >> 8, ppas & 255                       # [E, lb, D]
-
-        is_revisit = slots < 0
-        safe_slot = jnp.maximum(slots, 0)
-        eidx2 = earange[:, None]
-        safe_act = tree.cand_act[eidx2, lps, safe_slot].astype(jnp.int32)
-
-        parent_state = EnvState(
-            board=tree.node_board[eidx2, lps],
-            to_play=tree.node_to_play[eidx2, lps],
-            last_move=tree.node_last[eidx2, lps],
-            move_count=tree.node_count[eidx2, lps],
-            done=tree.node_done[eidx2, lps],
-            winner=tree.node_winner[eidx2, lps],
-        )
-        flat = lambda x: x.reshape((e * lb,) + x.shape[2:])
-        unflat = lambda x: x.reshape((e, lb) + x.shape[1:])
-        stepped = jax.tree.map(unflat, vector.step(
-            env_cfg, jax.tree.map(flat, parent_state), flat(safe_act)))
-
-        def sel_(a_, b_):
-            m = is_revisit.reshape(is_revisit.shape + (1,) * (a_.ndim - 2))
-            return jnp.where(m, a_, b_)
-
-        leaf_state = jax.tree.map(sel_, parent_state, stepped)
-
-        base = 1 + p_ * lb
-        edge_key = lps * c + safe_slot
-        expanding = ~is_revisit
-        same = ((edge_key[:, :, None] == edge_key[:, None, :])
-                & expanding[:, :, None] & expanding[:, None, :])
-        jj = jnp.arange(lb, dtype=jnp.int32)
-        first_lane = jnp.where(same, jj[None, None, :], lb).min(-1)
-        link_id = base + first_lane
-        is_first = expanding & (first_lane == jj[None, :])
-        link_add = jnp.where(is_first, link_id + 1, 0).astype(jnp.int16)
-
-        # ONE batched evaluation per pass
-        logits_f, v_f = evaluate(flat(leaf_state.board),
-                                 flat(leaf_state.to_play),
-                                 flat(leaf_state.last_move), keval)
-        logits, v = unflat(logits_f), unflat(v_f)
-        leaf_value = jnp.where(
-            leaf_state.done,
-            (leaf_state.winner * leaf_state.to_play).astype(jnp.float32),
-            v.astype(jnp.float32))
-        child_legal = stepped.board == 0
-        child_p = masked_softmax(logits, child_legal)
-        slot_p, slot_act = _top_c(
-            jnp.where(child_legal, child_p, -1.0), c, prior_dtype)
-
-        upd = lambda arr, u: jax.lax.dynamic_update_slice_in_dim(
-            arr, u, base, axis=1)
-        tree = tree.replace(
-            node_board=upd(tree.node_board, stepped.board),
-            node_to_play=upd(tree.node_to_play, stepped.to_play),
-            node_last=upd(tree.node_last, stepped.last_move),
-            node_count=upd(tree.node_count, stepped.move_count),
-            node_done=upd(tree.node_done, stepped.done),
-            node_winner=upd(tree.node_winner, stepped.winner),
-            p=upd(tree.p, slot_p),
-            cand_act=upd(tree.cand_act, slot_act),
-            child=tree.child.at[eidx2, lps, safe_slot].add(link_add),
-        )
-
-        dn = jnp.arange(d)[None, None, :]
-        on_path = dn < deps[:, :, None]
-        exp_ = (deps[:, :, None] - dn).astype(jnp.int32)
-        sign = jnp.where(exp_ % 2 == 0, 1.0, -1.0)
-        vals = jnp.where(on_path, sign * leaf_value[:, :, None], 0.0)
-        eidx3 = earange[:, None, None]
-        if packed:
-            # one combined (value << 16) + visit scatter per pass
-            delta = ((jnp.round(vals * w_scale).astype(jnp.int32) << 16)
-                     + on_path.astype(jnp.int32))
-            tree = tree.replace(n=tree.n.at[eidx3, pns, pas].add(delta))
-        else:
-            if fixed_w:
-                vals = jnp.round(vals * w_scale).astype(jnp.int16)
-            tree = tree.replace(
-                n=tree.n.at[eidx3, pns, pas].add(on_path.astype(jnp.uint16)),
-                w=tree.w.at[eidx3, pns, pas].add(vals))
-        return tree, key
 
     # DEPTH-STAGED pass loops: the tree deepens by at most one level per
     # pass (links are committed only at pass end), so a descent in pass p

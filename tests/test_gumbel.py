@@ -212,3 +212,149 @@ def test_gumbel_avoids_renju_forbidden_trap():
     assert float(res.visits[0, trap]) >= 1.0
     # ... and the improved policy pushes its mass to ~zero
     assert float(res.pi_target[0, trap]) < 0.01
+
+
+@pytest.mark.parametrize("size,n_in_row,sims,plies,m", [
+    (5, 4, 30, 0, 8),    # empty board, full halving
+    (5, 4, 17, 8, 8),    # odd budget: 1-lane remainder group
+    (5, 4, 30, 18, 16),  # near-endgame: fewer legal moves than m -> dup slots
+    (9, 5, 32, 10, 16),
+])
+def test_gumbel_capped_full_width_matches_oracle(size, n_in_row, sims,
+                                                 plies, m):
+    """branch_cap == A: the slot-tree gumbel driver (forced-root hook,
+    search_capped._run_pass) must match the scalar oracle bit-exactly on
+    the same fixtures as the uncapped parity test."""
+    env_cfg = EnvConfig(board_size=size, n_in_row=n_in_row)
+    mcts_cfg = MCTSConfig(num_simulations=sims, c_puct=5.0, gumbel_m=m,
+                          root_selection="gumbel",
+                          branch_cap=size * size)
+    games = [random_midgame(size, n_in_row, plies, seed)
+             for seed in (1, 2, 3, 4)]
+    state = to_env_state(games)
+    gtab = _gumbel_table(size, len(games))
+
+    run = jax.jit(functools.partial(
+        gumbel.run_gumbel_mcts, env_cfg, mcts_cfg, jax_eval(size)))
+    res = run(state, jax.random.key(0), gumbel=jnp.asarray(gtab))
+    visits = np.asarray(res.visits)
+    actions = np.asarray(res.action)
+    pis = np.asarray(res.pi_target)
+
+    for i, g in enumerate(games):
+        ref_n, ref_a, ref_pi = reference.run_gumbel_reference(
+            g, np_eval(size), sims, c_puct=5.0, gumbel=gtab[i], m=m)
+        np.testing.assert_array_equal(visits[i], ref_n, err_msg=f"env {i}")
+        assert actions[i] == ref_a, f"env {i}: {actions[i]} != {ref_a}"
+        np.testing.assert_allclose(pis[i], ref_pi, atol=1e-5,
+                                   err_msg=f"env {i}")
+
+
+def test_gumbel_capped_packed_matches_uncapped_int16():
+    """Production dtypes (packed s32 stats, bf16 priors, int16 values):
+    capped gumbel at full width must equal the uncapped driver under the
+    SAME quantization — both round values to 1/64 fixed point."""
+    size, sims, m = 5, 24, 8
+    env_cfg = EnvConfig(board_size=size, n_in_row=4)
+    kw = dict(num_simulations=sims, c_puct=5.0, gumbel_m=m,
+              root_selection="gumbel", prior_dtype="bfloat16",
+              value_dtype="int16")
+    cfg_un = MCTSConfig(**kw)
+    cfg_cap = MCTSConfig(**kw, branch_cap=size * size)
+    games = [random_midgame(size, 4, p, seed)
+             for p, seed in [(0, 1), (6, 2), (10, 3)]]
+    state = to_env_state(games)
+    gtab = jnp.asarray(_gumbel_table(size, len(games)))
+    ev = jax_eval(size)
+    r_un = jax.jit(functools.partial(
+        gumbel.run_gumbel_mcts, env_cfg, cfg_un, ev))(
+            state, jax.random.key(0), gumbel=gtab)
+    r_cap = jax.jit(functools.partial(
+        gumbel.run_gumbel_mcts, env_cfg, cfg_cap, ev))(
+            state, jax.random.key(0), gumbel=gtab)
+    np.testing.assert_array_equal(np.asarray(r_un.visits),
+                                  np.asarray(r_cap.visits))
+    np.testing.assert_array_equal(np.asarray(r_un.action),
+                                  np.asarray(r_cap.action))
+    np.testing.assert_allclose(np.asarray(r_un.pi_target),
+                               np.asarray(r_cap.pi_target), atol=1e-5)
+
+
+def test_gumbel_capped_binding_cap_properties():
+    """branch_cap < A (the cap actually binds below the root): the search
+    must still spend the budget exactly, keep every root candidate
+    reachable (root slots come from the gumbel top-m, never slot-dropped),
+    and emit legal actions and normalized legal-masked targets."""
+    size, sims, m = 9, 32, 16
+    env_cfg = EnvConfig(board_size=size, n_in_row=5)
+    mcts_cfg = MCTSConfig(num_simulations=sims, gumbel_m=m,
+                          root_selection="gumbel", branch_cap=24,
+                          prior_dtype="bfloat16", value_dtype="int16")
+    games = [random_midgame(size, 5, p, seed)
+             for p, seed in [(0, 1), (10, 2), (20, 3), (30, 4)]]
+    state = to_env_state(games)
+    res = jax.jit(functools.partial(
+        gumbel.run_gumbel_mcts, env_cfg, mcts_cfg, jax_eval(size)))(
+            state, jax.random.key(5))
+    visits = np.asarray(res.visits)
+    board = np.asarray(state.board)
+    np.testing.assert_array_equal(visits.sum(-1), sims)
+    # every visit and the played action land on legal moves
+    assert (visits[board != 0] == 0).all()
+    acts = np.asarray(res.action)
+    assert (board[np.arange(len(games)), acts] == 0).all()
+    pi = np.asarray(res.pi_target)
+    np.testing.assert_allclose(pi.sum(-1), 1.0, atol=1e-5)
+    assert (pi[board != 0] == 0).all()
+    # m > branch_cap clamps to the cap instead of overrunning slots
+    small_cap = MCTSConfig(num_simulations=sims, gumbel_m=16,
+                           root_selection="gumbel", branch_cap=8)
+    res2 = jax.jit(functools.partial(
+        gumbel.run_gumbel_mcts, env_cfg, small_cap, jax_eval(size)))(
+            state, jax.random.key(6))
+    np.testing.assert_array_equal(np.asarray(res2.visits).sum(-1), sims)
+
+
+def test_gumbel_capped_win_in_one_and_renju_trap():
+    """Tactics survive the marriage: win-in-one found, and the Renju
+    double-three trap is explored then rejected — under the production
+    slot-tree layout (branch_cap set)."""
+    # win-in-one (same position as test_gumbel_win_in_one)
+    env_cfg = EnvConfig(board_size=5, n_in_row=4)
+    mcts_cfg = MCTSConfig(num_simulations=32, root_selection="gumbel",
+                          branch_cap=16)
+    g = ScalarGomoku(5, 4)
+    for mov in [6, 0, 7, 1, 8, 2]:
+        g.step(mov)
+    state = to_env_state([g])
+    res = jax.jit(functools.partial(
+        gumbel.run_gumbel_mcts, env_cfg, mcts_cfg, jax_eval(5),
+        add_noise=False))(state, jax.random.key(0))
+    assert int(np.asarray(res.action)[0]) in (5, 9)
+    pi = np.asarray(res.pi_target)[0]
+    assert pi[5] + pi[9] > 0.5
+
+    # Renju trap (same position as test_gumbel_avoids_renju_forbidden_trap)
+    from alphafive_tpu.config import RENJU
+    from tests.test_renju import make_position, rc, SIZE
+
+    _, st = make_position(
+        blacks=[(7, 5), (7, 6), (5, 7), (6, 7)],
+        whites=[(0, 0), (0, 1), (0, 2), (0, 3)])
+    trap = rc(7, 7)
+
+    def evaluate(board, to_play, last, key):
+        del to_play, last, key
+        logits = jnp.zeros((board.shape[0], SIZE * SIZE), jnp.float32)
+        logits = logits.at[:, trap].set(4.0)
+        return logits, jnp.zeros((board.shape[0],), jnp.float32)
+
+    env_r = EnvConfig(board_size=SIZE, rules=RENJU)
+    cfg_r = MCTSConfig(num_simulations=16, root_selection="gumbel",
+                       branch_cap=64)
+    res = jax.jit(functools.partial(
+        gumbel.run_gumbel_mcts, env_r, cfg_r, evaluate,
+        add_noise=False))(st, jax.random.key(0))
+    assert int(np.asarray(res.action)[0]) != trap
+    assert float(res.visits[0, trap]) >= 1.0
+    assert float(res.pi_target[0, trap]) < 0.01

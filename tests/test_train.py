@@ -386,6 +386,9 @@ def test_lowsim_gumbel_preset_multidevice():
     cfg = dataclasses.replace(
         cfg,
         mesh=dataclasses.replace(cfg.mesh, data=n),
+        # branch_cap on top of the preset: covers the round-4
+        # gumbel × capped-slot-tree combination under the SPMD mesh
+        mcts=dataclasses.replace(cfg.mcts, branch_cap=32),
         net=NetConfig(blocks=1, channels=8, value_hidden=8,
                       compute_dtype="float32"),
         replay=ReplayConfig(capacity=64 * n, batch_size=8 * n,
