@@ -118,3 +118,35 @@ def run(cfg: RunConfig, plies: int = 8, warmup: int = 1,
         "leaf_evals_per_s": sims / best,
         "net_forwards_per_s": sims / best / max(cfg.mcts.leaf_batch, 1),
     }
+
+
+def main(argv=None):
+    """CLI: one JSON line of self-play (or full-iteration) throughput for
+    any preset — the per-preset companion to the repo-root bench.py
+    (which is pinned to the BASELINE.json:2 headline config)."""
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(prog="selfplay_bench")
+    ap.add_argument("--preset", default="chip_15x15")
+    ap.add_argument("--mode", choices=["selfplay", "iteration"],
+                    default="selfplay")
+    ap.add_argument("--plies", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from alphafive_tpu.config import get_preset
+    cfg = get_preset(args.preset)
+    if args.mode == "iteration":
+        out = run_iteration(cfg, repeats=args.repeats)
+    else:
+        out = run(cfg, plies=args.plies, repeats=args.repeats)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
