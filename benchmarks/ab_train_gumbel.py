@@ -31,6 +31,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="tiny_test",
+                    help="base RunConfig preset for BOTH training runs")
+    ap.add_argument("--set", action="append", default=[], dest="overrides",
+                    metavar="SEC.FIELD=VAL",
+                    help="config overrides applied to BOTH runs "
+                         "(cli --set grammar)")
     ap.add_argument("--iters", type=int, default=300)
     ap.add_argument("--games", type=int, default=64)
     ap.add_argument("--sims", type=int, default=16,
@@ -41,19 +47,24 @@ def main():
     ap.add_argument("--opening-plies", type=int, default=2)
     ap.add_argument("--platform", default="cpu")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--workdir-root", default=None,
+                    help="keep the two runs (checkpoints + metrics.jsonl) "
+                         "under <root>/{gumbel,puct} instead of tempdirs")
     args = ap.parse_args()
 
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    from alphafive_tpu.cli import _apply_overrides
     from alphafive_tpu.config import MCTSConfig, get_preset
     from alphafive_tpu.models.evaluator import net_evaluator, rollout_evaluator
     from alphafive_tpu.train.evaluate import evaluate_vs
     from alphafive_tpu.train.loop import train
     from alphafive_tpu.utils.logging import MetricsLogger
 
-    base = get_preset("tiny_test")
+    base = get_preset(args.preset)
+    base = _apply_overrides(base, args.overrides)
     base = dataclasses.replace(
         base,
         mcts=dataclasses.replace(base.mcts, num_simulations=args.sims),
@@ -69,9 +80,15 @@ def main():
                                            if variant == "gumbel"
                                            else "puct"))
         t0 = time.time()
-        wd = tempfile.mkdtemp(prefix=f"abtrain_{variant}_")
+        if args.workdir_root:
+            wd = os.path.join(args.workdir_root, variant)
+            os.makedirs(wd, exist_ok=True)
+            logger = MetricsLogger(wd, quiet=True, tensorboard=False)
+        else:
+            wd = tempfile.mkdtemp(prefix=f"abtrain_{variant}_")
+            logger = MetricsLogger(None, quiet=True)
         carry, _ = train(cfg, workdir=wd, total_iters=args.iters,
-                         logger=MetricsLogger(None, quiet=True))
+                         logger=logger)
         ts = carry.train_state
         nets[variant] = net_evaluator(cfg.env, cfg.net, ts.params,
                                       ts.batch_stats)
@@ -96,7 +113,8 @@ def main():
         vs_anchor[variant] = r["score"]
 
     print(json.dumps({
-        "preset": "tiny_test", "board": base.env.board_size,
+        "preset": args.preset, "overrides": args.overrides,
+        "rules": base.env.rules, "board": base.env.board_size,
         "train_sims": args.sims, "iters": args.iters,
         "eval_sims": args.eval_sims, "games": args.games,
         "gumbel_vs_puct_net": res["score"],

@@ -21,6 +21,14 @@ import jax  # noqa: E402  (already imported by sitecustomize anyway)
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Import the package BEFORE lowering the persistent-cache threshold: the
+# package __init__ sets min_compile_time to 2.0 s at import, which used to
+# silently override the 0.1 s below (tests import alphafive_tpu after
+# conftest), so test-sized programs (0.1-2 s compiles — most of the suite)
+# were never written to the cache and every run recompiled everything.
+import alphafive_tpu  # noqa: E402, F401
+
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 assert jax.default_backend() == "cpu"
