@@ -317,13 +317,15 @@ def test_smoke_9x9_preset_end_to_end(tmp_path):
     # 1 env, 100-sim MCTS, 4-block 64-ch f32 net, fixed seed). Ancillary
     # cadence/replay thresholds shrink so the learner engages at iter 1
     # (the first iter only stages the z-lookahead chunk) and the test
-    # stays ~1 min on the 1-core CI box.
+    # stays the single largest suite cost (~25 s warm-cache on the
+    # 1-core CI box; 24 plies/iter still finishes a game by iter 2 under
+    # the fixed seed).
     cfg = dataclasses.replace(
         cfg,
         train=dataclasses.replace(cfg.train, eval_every_iters=0,
                                   checkpoint_every_iters=1,
-                                  selfplay_plies_per_iter=32),
-        replay=ReplayConfig(capacity=20_000, batch_size=64, min_fill=32))
+                                  selfplay_plies_per_iter=24),
+        replay=ReplayConfig(capacity=20_000, batch_size=64, min_fill=24))
 
     wd_a = str(tmp_path / "a")
     logs = []
