@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--eval-sims", type=int, default=64,
                     help="neutral match search budget")
     ap.add_argument("--anchor-rollouts", type=int, default=256)
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="in-run anchor-ladder evals every N iters (0 = "
+                         "off, the fast default); >0 gives each arm a "
+                         "ladder CURVE in its workdir, not just the final "
+                         "point — use with --workdir-root")
     ap.add_argument("--opening-plies", type=int, default=2)
     ap.add_argument("--platform", default="cpu")
     ap.add_argument("--seed", type=int, default=0)
@@ -69,7 +74,8 @@ def main():
         base,
         mcts=dataclasses.replace(base.mcts, num_simulations=args.sims),
         train=dataclasses.replace(base.train, seed=args.seed,
-                                  eval_every_iters=0,
+                                  eval_every_iters=args.eval_every,
+                                  eval_simulations=args.eval_sims,
                                   checkpoint_every_iters=10_000))
 
     nets = {}
