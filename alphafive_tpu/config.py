@@ -458,10 +458,39 @@ def lowsim_15x15() -> RunConfig:
     )
 
 
+def train_lowsim_15x15() -> RunConfig:
+    """Practical training recipe for the lowsim_15x15 data-engine config
+    (not a BASELINE preset): the SAME search as lowsim_15x15 (16-sim
+    gumbel one-pass root — the only physically 1M-aggregate-capable
+    regime, docs/NORTH_STAR.md §3) with the train/eval scaffolding of
+    train_15x15 so the two recipes compare at matched device time.
+    In-run ladder evals use a 240-sim gumbel search on the same anchor
+    scale as train_15x15 (canonical exact anchors, cap 6400)."""
+    return RunConfig(
+        name="train_lowsim_15x15",
+        env=EnvConfig(board_size=15),
+        net=NetConfig(blocks=4, channels=64),
+        mcts=MCTSConfig(num_simulations=16, max_depth=16,
+                        root_selection="gumbel", gumbel_m=16,
+                        prior_dtype="bfloat16", value_dtype="int16"),
+        replay=ReplayConfig(capacity=400_000, batch_size=512,
+                            min_fill=8_192),
+        train=TrainConfig(num_envs=2048, selfplay_plies_per_iter=32,
+                          learner_steps_per_iter=4,
+                          kl_stop_factor=4.0,
+                          eval_every_iters=400, eval_games=32,
+                          eval_simulations=240,
+                          max_anchor_rollouts=6_400,
+                          checkpoint_every_iters=100,
+                          total_iters=2_400),
+    )
+
+
 PRESETS = {
     "smoke_9x9": smoke_9x9,
     "chip_15x15": chip_15x15,
     "lowsim_15x15": lowsim_15x15,
+    "train_lowsim_15x15": train_lowsim_15x15,
     "host_15x15": host_15x15,
     "pod_v5p16": pod_v5p16,
     "renju_19x19": renju_19x19,
