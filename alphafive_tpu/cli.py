@@ -276,7 +276,8 @@ def _cmd_eval(cfg, args):
         mcts_a=cfg.mcts, mcts_b=MCTSConfig(),
         plies_per_call=1 if args.anchor_rollouts >= 3_200 else 2)
     result["anchor_rollouts"] = args.anchor_rollouts
-    result["elo_vs_anchor"] = performance_elo(result["score"], 0.0)
+    result["elo_vs_anchor"] = performance_elo(result["score"], 0.0,
+                                              games=result.get("games"))
     print(_json.dumps(result))
 
 

@@ -42,16 +42,31 @@ class LadderState:
         return ANCHOR_STEP_ELO * self.level
 
 
-def performance_elo(score: float, anchor_elo: float) -> float:
-    """Rating implied by `score` against an `anchor_elo` opponent."""
-    s = min(max(score, 1e-3), 1 - 1e-3)
+def performance_elo(score: float, anchor_elo: float,
+                    games: Optional[int] = None) -> float:
+    """Rating implied by `score` against an `anchor_elo` opponent.
+
+    A sweep (score exactly 0 or 1) implies an unbounded rating; some clamp
+    is needed. When `games` is given, the score is clamped at the SAMPLE
+    RESOLUTION — [1/(2n), 1 − 1/(2n)] for n games (the Haldane-style
+    half-count correction) — so the estimate is monotone and nearly
+    continuous in the win count: with n=64, a 64–0 sweep maps to
+    anchor+841 and 63–1 to anchor+720, instead of the fixed 1e-3 clamp's
+    anchor+1200 vs anchor+720 cliff (the round-4 19×19 ladder.json
+    artifact where one lost game "dropped" 480 Elo — it was the clamp
+    moving, not the net). Without `games` the legacy 1e-3 clamp applies
+    (keeps old recorded histories interpretable).
+    """
+    lo = 1.0 / (2.0 * games) if games else 1e-3
+    s = min(max(score, lo), 1 - lo)
     return anchor_elo - 400.0 * math.log10(1.0 / s - 1.0)
 
 
 def update_ladder(ladder: LadderState, result: dict,
                   step: int) -> Optional[float]:
     """Record an eval result; maybe climb the ladder. Returns Elo estimate."""
-    elo = performance_elo(result["score"], ladder.anchor_elo)
+    elo = performance_elo(result["score"], ladder.anchor_elo,
+                          games=result.get("games"))
     ladder.history.append({
         "step": step, "level": ladder.level,
         "anchor_rollouts": ladder.anchor_rollouts, **result, "elo": elo,

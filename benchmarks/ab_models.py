@@ -71,7 +71,8 @@ def main():
         "board": env_cfg.board_size, "rules": env_cfg.rules,
         "sims_a": args.sims, "sims_b": sims_b,
         **res,
-        "elo_a_vs_b": performance_elo(res["score"], 0.0),
+        "elo_a_vs_b": performance_elo(res["score"], 0.0,
+                                      games=res.get("games")),
         "match_seconds": round(time.time() - t0, 1),
     }))
 

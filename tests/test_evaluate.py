@@ -1,5 +1,7 @@
 """Eval matches + Elo ladder (SURVEY.md §3.5, §4 "Learning-curve/Elo")."""
 
+import math
+
 import jax
 import numpy as np
 import pytest
@@ -102,6 +104,28 @@ def test_elo_math():
     # monotone in score; shift by anchor
     assert (elo.performance_elo(0.9, 100.0)
             > elo.performance_elo(0.6, 100.0) > 100.0 - 80)
+
+
+def test_elo_sample_resolution_clamp():
+    """Sweep Elo is clamped at the SAMPLE resolution, not a fixed 1e-3:
+    the round-4 19×19 ladder artifact recorded a 480-point "drop" going
+    from a 64–0 sweep to 63–1 purely because the fixed clamp valued a
+    sweep at +1200 while 63/64 computes to +720. Games-aware clamping
+    makes the estimate monotone and nearly continuous in the win count."""
+    sweep = elo.performance_elo(1.0, 0.0, games=64)
+    near = elo.performance_elo(63 / 64, 0.0, games=64)
+    assert sweep > near  # monotone in wins
+    assert sweep - near < 150  # no cliff (legacy clamp gap was ~480)
+    # more games -> tighter resolution -> higher (but still finite) bound
+    assert elo.performance_elo(1.0, 0.0, games=256) > sweep
+    # legacy behavior without games is unchanged (old histories)
+    assert elo.performance_elo(1.0, 0.0) == pytest.approx(
+        -400.0 * math.log10(1.0 / 0.999 - 1.0))
+    # update_ladder feeds its games count through
+    lad = elo.LadderState(base_rollouts=100)
+    e = elo.update_ladder(lad, {"score": 1.0, "games": 64, "wins": 64,
+                                "losses": 0, "draws": 0}, step=1)
+    assert e == pytest.approx(sweep)
 
 
 def test_ladder_promotes():
