@@ -94,6 +94,9 @@ def main(argv=None):
 
     sp = sub.add_parser("train", help="run the actor-learner pipeline")
     common(sp)
+    sp.add_argument("--allow-oversubscribe", action="store_true",
+                    help="skip the per-device HBM footprint guard "
+                         "(utils/memory.py)")
     sp.add_argument("--iters", type=int, default=None)
     sp.add_argument("--resume", action="store_true")
     sp.add_argument("--profile-iters", type=int, default=0,
@@ -127,6 +130,9 @@ def main(argv=None):
 
     sp = sub.add_parser("bench", help="self-play throughput benchmark")
     common(sp)
+    sp.add_argument("--allow-oversubscribe", action="store_true",
+                    help="skip the per-device HBM footprint guard "
+                         "(utils/memory.py)")
     sp.add_argument("--plies", type=int, default=8)
     sp.add_argument("--mode", choices=["selfplay", "iteration"],
                     default="selfplay",
@@ -148,6 +154,9 @@ def main(argv=None):
     from alphafive_tpu.config import get_preset
     cfg = _apply_overrides(get_preset(args.preset), args.overrides)
 
+    if args.cmd in ("train", "bench"):
+        _check_device_budget(cfg, args)
+
     if args.cmd == "train":
         if args.multihost:
             from alphafive_tpu.parallel import distributed
@@ -166,6 +175,31 @@ def main(argv=None):
     elif args.cmd == "export":
         _cmd_export(cfg, args)
     return 0
+
+
+def _check_device_budget(cfg, args):
+    """Refuse device runs whose estimated per-device footprint exceeds HBM.
+
+    Round-4 postmortem: running the pod_v5p16 preset (8,192 envs, meant
+    for 8+ chips) on the one real chip crashed the axon worker three
+    rounds running — an unguarded stock CLI invocation could take down
+    the shared TPU worker. The physically meaningful single-chip row for
+    a multi-host preset is its per-chip SHARD, e.g.:
+
+        cli bench --preset pod_v5p16 --set mesh.data=1 \\
+            --set train.num_envs=1024 --set replay.batch_size=512
+
+    (docs/NORTH_STAR.md §5). `--allow-oversubscribe` bypasses the guard.
+    """
+    if getattr(args, "allow_oversubscribe", False):
+        return
+    import jax
+    if jax.devices()[0].platform == "cpu":
+        return  # host RAM, not HBM — tests and debugging runs
+    from alphafive_tpu.utils.memory import budget_error
+    err = budget_error(cfg, len(jax.devices()))
+    if err is not None:
+        raise SystemExit(err)
 
 
 def _cmd_export(cfg, args):

@@ -118,3 +118,29 @@ def test_load_model_accepts_export_dir(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(params["stem_conv"]["kernel"]),
         np.asarray(ts.params["stem_conv"]["kernel"]))
+
+
+def test_hbm_footprint_guard():
+    """The pod_v5p16 preset collapsed onto one device must be refused
+    (its 8,192-env program crashed the axon worker three rounds running,
+    docs/NORTH_STAR.md §5), while every config measured to run on one
+    chip must pass — including the per-chip pod SHARD methodology the
+    guard's message recommends."""
+    import dataclasses
+    from alphafive_tpu.config import PRESETS
+    from alphafive_tpu.utils.memory import budget_error
+
+    pod = get_preset("pod_v5p16")
+    assert budget_error(pod, 1) is not None
+    assert "per-chip shard" in budget_error(pod, 1)
+    assert budget_error(pod, 8) is None  # intended layout fits
+    # the recommended single-chip shard passes
+    shard = dataclasses.replace(
+        pod, mesh=dataclasses.replace(pod.mesh, data=1),
+        train=dataclasses.replace(pod.train, num_envs=1024),
+        replay=dataclasses.replace(pod.replay, batch_size=512))
+    assert budget_error(shard, 1) is None
+    # everything known to run on the one v5e chip passes on one device
+    for name in ("chip_15x15", "host_15x15", "renju_19x19",
+                 "lowsim_15x15", "train_15x15", "train_19x19"):
+        assert budget_error(PRESETS[name](), 1) is None, name
