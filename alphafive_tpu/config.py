@@ -142,6 +142,15 @@ class MCTSConfig:
     #              the leaf-parallel lanes (each pass visits every survivor
     #              once, distinct root children ⇒ no virtual-visit machinery).
     root_selection: str = "puct"
+    # Backup-scatter cadence in passes (packed int16 mode only). 2 =
+    # DEFERRED backup: odd passes skip their [E,NN,C] stats scatter and
+    # the next pass folds their results into PUCT through the select
+    # loop's depth-unique lookup, materializing both in one scatter —
+    # bit-identical search (tests/test_mcts.py::
+    # test_deferred_backup_bit_identical), half the scatter traffic
+    # (the largest non-matmul op of the pass profile,
+    # docs/PERFORMANCE.md "Known headroom"). 1 = scatter every pass.
+    backup_interval: int = 1
     # Max root candidates considered by the Gumbel search (m in the paper;
     # power of two). The effective m is min(gumbel_m, budget).
     gumbel_m: int = 16
@@ -199,6 +208,13 @@ class TrainConfig:
     # runtimes: one 12800-rollout anchor search per device call exceeded
     # the ~60s kill threshold and crash-looped a training run (round 2).
     max_anchor_rollouts: int = 12_800
+    # Once the anchor ladder is maxed AND the net sweeps it, the ladder
+    # carries no further strength signal (the round-4 19×19 run "flew
+    # blind" past iter 249). The gate then switches to NET-VS-NET: the
+    # current net plays the stored best model (workdir/best_model) under
+    # the same search config, and is promoted to best on score >= this
+    # threshold (the reference family's new-vs-best gate, SURVEY.md §3.5).
+    best_gate_score: float = 0.55
     checkpoint_every_iters: int = 50
     total_iters: int = 1_000
 

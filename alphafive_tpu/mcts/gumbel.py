@@ -496,11 +496,12 @@ def _run_gumbel_capped(
         def group_body(i, carry, lb=lb, d_group=d_group, forced=forced,
                        base0=base0):
             tree, key = carry
-            return _run_pass(
+            tree, key, _ = _run_pass(
                 env_cfg, evaluate, tree, key, base=base0 + i * lb,
                 d=d_group, lb=lb, c=c, packed=packed, fixed_w=fixed_w,
                 w_scale=w_scale, prior_dtype=prior_dtype, c_puct=c_puct,
                 forced_k=jnp.float32(0.0), forced_slots=forced)
+            return tree, key
 
         tree, key = jax.lax.fori_loop(0, passes, group_body, (tree, key))
         base0 += lb * passes

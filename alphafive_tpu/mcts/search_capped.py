@@ -91,7 +91,7 @@ def _top_c(p_signed: jnp.ndarray, c: int, prior_dtype, exact: bool = False):
 
 def _select_lanes(stat_a, stat_b, tree_p, tree_child, tree_done,
                   c_puct, depth_limit, w_inv_scale, forced_k, num_slots,
-                  packed, lb, forced_slots=None):
+                  packed, lb, forced_slots=None, pending=None):
     """WAVEFRONT-PIPELINED PUCT descent: all ``lb`` lanes of a pass in
     ONE while_loop. Lane j starts at loop iteration j and every active
     lane takes one step per iteration, so the sequential iteration count
@@ -145,6 +145,19 @@ def _select_lanes(stat_a, stat_b, tree_p, tree_child, tree_done,
     (their scatter→gather relayout happens once per pass) while
     preserving full-path virtual-visit semantics.
 
+    `pending` (deferred backup, mcts_cfg.backup_interval=2) is the
+    PREVIOUS pass's un-materialized results as (ppas_prev [E,LP,D]
+    packed path entries, pw_prev s32 [E,LP,D] fixed-point value deltas,
+    deps_prev [E,LP]): its REAL visit counts and value sums are folded
+    into nf_real/w_row through the same depth-unique one-hot lookup the
+    virtual visits use (a pending entry at depth index t names a
+    depth-t node, so the lane standing at `cur` at depth t reads
+    exactly index t — one extra tiny einsum per step instead of a full
+    [E,NN,C] scatter per pass). All adds are exact in f32 (entries
+    < 2^23, value units < 2^15·lb), so the search is BIT-IDENTICAL to
+    materializing the scatter every pass
+    (tests/test_mcts.py::test_deferred_backup_bit_identical).
+
     Returns (lps [E,LB] leaf-parent nodes, slots [E,LB] chosen slot or
     -1 for revisits, deps [E,LB] recorded path lengths, ppas [E,LB,D]
     packed (node << 8 | slot) path entries)."""
@@ -192,6 +205,25 @@ def _select_lanes(stat_a, stat_b, tree_p, tree_child, tree_done,
                       & ((ent & 255)[..., None] == slot_ar), 1.0, 0.0),
             axis=1)                                            # [E,LBj,C]
 
+        if pending is not None:
+            pp, pw, pdep = pending                         # [E,LP,D]×2, [E,LP]
+            # entry/value of pending lane m at depth k - j (same static
+            # one-hot as above; f32-exact: entries < 2^23, values < 2^15)
+            entp = jnp.einsum("emd,jd->emj", pp.astype(jnp.float32),
+                              oh_d).astype(jnp.int32)      # [E,LP,LBj]
+            wentp = jnp.einsum("emd,jd->emj", pw.astype(jnp.float32),
+                               oh_d)                       # [E,LP,LBj]
+            validp = ((jnp.clip(k - lanes, 0, d - 1)[None, None, :]
+                       < pdep[:, :, None])
+                      & ((entp >> 8) == cur[:, None, :]))  # [E,LP,LBj]
+            slot_hit = (validp[..., None]
+                        & ((entp & 255)[..., None] == slot_ar))
+            nf_real = nf_real + jnp.sum(
+                jnp.where(slot_hit, 1.0, 0.0), axis=1)     # [E,LBj,C]
+            w_row = w_row + jnp.sum(
+                jnp.where(slot_hit, wentp[..., None], 0.0),
+                axis=1) * w_inv_scale
+
         nf = nf_real + virt
         score = _puct_scores_n(nf, w_row, p_row, legal, c_puct)
         # forced-playout gate on REAL visits only (see search._select_one)
@@ -233,13 +265,21 @@ def _select_lanes(stat_a, stat_b, tree_p, tree_child, tree_done,
 
 def _run_pass(env_cfg, evaluate, tree, key, *, base, d, lb, c, packed,
               fixed_w, w_scale, prior_dtype, c_puct, forced_k,
-              forced_slots=None):
+              forced_slots=None, pending=None, defer=False):
     """One leaf-parallel pass over the capped tree: wavefront select of
     `lb` lanes, batched env.step + net forward, dedup expansion at node
     ids [base, base + lb), combined backup scatter. Shared by the classic
     driver (run_mcts_capped) and the gumbel halving driver
     (mcts/gumbel.py), which forces each lane's first step to its assigned
-    root slot via `forced_slots` [E, lb]."""
+    root slot via `forced_slots` [E, lb].
+
+    Deferred backup (packed mode only): `defer=True` skips the stats
+    scatter and returns this pass's results as a pending tuple; the NEXT
+    pass receives it as `pending`, folds it into PUCT inside the select
+    loop (see _select_lanes), and materializes BOTH passes' deltas in
+    one scatter — halving the [E,NN,C] scatter traffic per pass at the
+    cost of one extra einsum lookup per descent step. Returns
+    (tree, key, pending_out)."""
     e = tree.node_done.shape[0]
     earange = jnp.arange(e)
     key, keval = jax.random.split(key)
@@ -251,7 +291,7 @@ def _run_pass(env_cfg, evaluate, tree, key, *, base, d, lb, c, packed,
     lps, slots, deps, ppas = _select_lanes(
         tree.n, tree.n if packed else tree.w, tree.p, tree.child,
         tree.node_done, c_puct, d, 1.0 / w_scale, forced_k, c,
-        packed, lb, forced_slots)
+        packed, lb, forced_slots, pending)
     pns, pas = ppas >> 8, ppas & 255                       # [E, lb, D]
 
     is_revisit = slots < 0
@@ -323,17 +363,32 @@ def _run_pass(env_cfg, evaluate, tree, key, *, base, d, lb, c, packed,
     vals = jnp.where(on_path, sign * leaf_value[:, :, None], 0.0)
     eidx3 = earange[:, None, None]
     if packed:
-        # one combined (value << 16) + visit scatter per pass
-        delta = ((jnp.round(vals * w_scale).astype(jnp.int32) << 16)
-                 + on_path.astype(jnp.int32))
+        pw = jnp.round(vals * w_scale).astype(jnp.int32)  # [E,lb,D] units
+        if defer:
+            # hand this pass's results to the next one instead of
+            # scattering (mask invalid tail entries so the next select's
+            # lookup reads clean zeros beyond deps)
+            return tree, key, (jnp.where(on_path, ppas, 0), pw, deps)
+        # one combined (value << 16) + visit scatter per pass — for both
+        # this pass and (deferred mode) the previous one, concatenated
+        # along the lane axis into a single scatter
+        delta = (pw << 16) + on_path.astype(jnp.int32)
+        if pending is not None:
+            p_ppas, p_pw, p_deps = pending
+            p_on = jnp.arange(d)[None, None, :] < p_deps[:, :, None]
+            p_delta = (p_pw << 16) + p_on.astype(jnp.int32)
+            pns = jnp.concatenate([pns, p_ppas >> 8], axis=1)
+            pas = jnp.concatenate([pas, p_ppas & 255], axis=1)
+            delta = jnp.concatenate([delta, p_delta], axis=1)
         tree = tree.replace(n=tree.n.at[eidx3, pns, pas].add(delta))
     else:
+        assert pending is None and not defer
         if fixed_w:
             vals = jnp.round(vals * w_scale).astype(jnp.int16)
         tree = tree.replace(
             n=tree.n.at[eidx3, pns, pas].add(on_path.astype(jnp.uint16)),
             w=tree.w.at[eidx3, pns, pas].add(vals))
-    return tree, key
+    return tree, key, None
 
 
 def run_mcts_capped(
@@ -419,17 +474,51 @@ def run_mcts_capped(
     passes = sims // lb
     d = depth_limit
 
+    def pass_(tree, key, p_, d, pending=None, defer=False):
+        return _run_pass(
+            env_cfg, evaluate, tree, key, base=1 + p_ * lb, d=d,
+            lb=lb, c=c, packed=packed, fixed_w=fixed_w,
+            w_scale=w_scale, prior_dtype=prior_dtype, c_puct=c_puct,
+            forced_k=forced_k, pending=pending, defer=defer)
+
     def make_pass_body(d):
         # `d` is the static path-depth cap for ONE stage of passes (see
         # the staged loop below); the body itself is the shared _run_pass
         def pass_body(p_, carry):
             tree, key = carry
-            return _run_pass(
-                env_cfg, evaluate, tree, key, base=1 + p_ * lb, d=d,
-                lb=lb, c=c, packed=packed, fixed_w=fixed_w,
-                w_scale=w_scale, prior_dtype=prior_dtype, c_puct=c_puct,
-                forced_k=forced_k)
+            tree, key, _ = pass_(tree, key, p_, d)
+            return tree, key
         return pass_body
+
+    def make_pair_body(d):
+        # deferred backup (mcts_cfg.backup_interval=2, packed mode):
+        # pass 2q skips its scatter and hands its results to pass 2q+1
+        # through the PUCT-exact pending lookup (_select_lanes); pass
+        # 2q+1 materializes both in ONE scatter. Bit-identical search,
+        # half the [E,NN,C] scatter traffic.
+        def pair_body(q, carry):
+            tree, key = carry
+            tree, key, pend = pass_(tree, key, 2 * q, d, defer=True)
+            tree, key, _ = pass_(tree, key, 2 * q + 1, d, pending=pend)
+            return tree, key
+        return pair_body
+
+    defer_ok = packed and int(getattr(mcts_cfg, "backup_interval", 1)) >= 2
+
+    def run_stage(tree, key, lo, hi, d):
+        if not defer_ok:
+            return jax.lax.fori_loop(lo, hi, make_pass_body(d),
+                                     (tree, key))
+        # pairs must align on even pass indices so resumed stages keep
+        # the same pairing; odd-index boundaries run single passes
+        if lo % 2 and lo < hi:
+            tree, key, _ = pass_(tree, key, lo, d)
+            lo += 1
+        tree, key = jax.lax.fori_loop(lo // 2, hi // 2, make_pair_body(d),
+                                      (tree, key))
+        if hi % 2 and lo <= hi - 1:
+            tree, key, _ = pass_(tree, key, hi - 1, d)
+        return tree, key
 
     # DEPTH-STAGED pass loops: the tree deepens by at most one level per
     # pass (links are committed only at pass end), so a descent in pass p
@@ -446,11 +535,9 @@ def run_mcts_capped(
     dc = 8
     while lo < passes:
         if dc >= min(d, passes):
-            tree, key = jax.lax.fori_loop(
-                lo, passes, make_pass_body(min(d, passes)), (tree, key))
+            tree, key = run_stage(tree, key, lo, passes, min(d, passes))
             break
-        tree, key = jax.lax.fori_loop(
-            lo, min(passes, dc), make_pass_body(dc), (tree, key))
+        tree, key = run_stage(tree, key, lo, min(passes, dc), dc)
         lo = min(passes, dc)
         dc *= 2
 

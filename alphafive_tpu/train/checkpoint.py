@@ -39,9 +39,15 @@ def save(mgr: ocp.CheckpointManager, iteration: int, carry: TrainCarry,
         "iteration": iteration,
         **(extra or {}),
     }
+    import numpy as np
     state = {
         "carry": carry,
-        "key": jax.random.key_data(key),
+        # host numpy, not a device array: a single-device jax.Array here is
+        # host-local and orbax refuses to serialize it in multi-process
+        # runs (caught by tests/test_distributed.py's real 2-process
+        # cluster); numpy is treated as replicated and written by the
+        # primary
+        "key": np.asarray(jax.random.key_data(key)),
     }
     mgr.save(iteration, args=ocp.args.Composite(
         state=ocp.args.StandardSave(state),
@@ -136,9 +142,10 @@ def load_model(directory: str):
 def restore(mgr: ocp.CheckpointManager, carry_like: TrainCarry,
             iteration: Optional[int] = None
             ) -> Tuple[int, TrainCarry, jax.Array, RunConfig, LadderState]:
+    import numpy as np
     step = iteration if iteration is not None else mgr.latest_step()
     assert step is not None, "no checkpoint found"
-    key0 = jax.random.key_data(jax.random.key(0))
+    key0 = np.asarray(jax.random.key_data(jax.random.key(0)))
     try:
         out = mgr.restore(step, args=ocp.args.Composite(
             state=ocp.args.StandardRestore(

@@ -105,6 +105,14 @@ def train(cfg: RunConfig, workdir: Optional[str] = None,
             "env_steps_per_s": env_steps / dt,
             "env_steps_per_s_per_chip": env_steps / dt / n_chips,
             "sims_per_s": env_steps * sims / dt,
+            # canary: fraction of iters with the KL controller pinned at
+            # its 0.1 floor (learner.adapt_lr_scale clip). A sustained
+            # rolling mean near 1.0 means base-lr updates are ~10× the KL
+            # target — the 19×19 run sat there for iters 200–360 while
+            # its value loss tracked a shifting data distribution
+            # (docs/TRAINING.md "The late-run value-loss rise").
+            "lr_at_floor": 1.0 if metrics.get("lr_scale", 1.0) <= 0.101
+            else 0.0,
         })
 
         # The eval key is split BEFORE the checkpoint so the saved key
@@ -129,13 +137,36 @@ def train(cfg: RunConfig, workdir: Optional[str] = None,
             elo = run_eval(cfg, carry, ladder, it, keval, log)
             if workdir and primary:
                 _write_ladder_sidecar(workdir, it + 1, ladder)
-            # best-model tracking keyed on eval rating (SURVEY.md §5.4)
-            best_so_far = max((h["elo"] for h in ladder.history[:-1]),
-                              default=-1e9)
-            if workdir and elo is not None and elo > best_so_far:
+            # Best-model gate (SURVEY.md §5.4/§3.5). Two regimes:
+            #   * ladder live — promote on a new best performance Elo;
+            #   * ladder MAXED and swept — the anchors carry no further
+            #     signal (the round-4 19×19 run flew blind here), so
+            #     promote on a net-vs-net match against the stored best
+            #     (reference-family new-vs-best, train.best_gate_score).
+            maxed = ladder.anchor_rollouts * 2 > ladder.max_rollouts
+            swept = (ladder.history
+                     and ladder.history[-1]["score"] >= ladder.promote_score)
+            best_model_dir = f"{workdir}/best_model" if workdir else None
+            have_best = (best_model_dir
+                         and os.path.exists(f"{best_model_dir}/model.msgpack"))
+            if maxed and swept and have_best:
+                score = _eval_vs_best(cfg, carry, best_model_dir,
+                                      jax.random.fold_in(keval, 0xBE57),
+                                      it, log)
+                promote = score >= cfg.train.best_gate_score
+            else:
+                best_so_far = max((h["elo"] for h in ladder.history[:-1]),
+                                  default=-1e9)
+                promote = elo is not None and elo > best_so_far
+            if workdir and promote:
                 ckpt.save(ckpt.make_manager(f"{workdir}/best",
                                             max_to_keep=1),
                           it + 1, carry, key, cfg, ladder)
+                if primary:
+                    ts = carry.train_state
+                    ckpt.export_model(best_model_dir, ts.params,
+                                      ts.batch_stats, cfg,
+                                      extra={"iteration": it + 1})
                 log.log({"kind": "best", "iter": it + 1, "elo": elo})
 
     if mgr is not None:
@@ -186,6 +217,34 @@ def _read_ladder_sidecar(workdir: Optional[str]):
     with open(path) as f:
         d = json.load(f)
     return int(d["iter"]), _ladder_from_dict(d["ladder"])
+
+
+def _eval_vs_best(cfg: RunConfig, carry, best_model_dir: str,
+                  key: jax.Array, it: int, log: MetricsLogger) -> float:
+    """Current net vs the stored best model, SAME search config both
+    sides (isolates net quality), randomized openings because both
+    players are deterministic greedy. Returns the current net's score."""
+    ts = carry.train_state
+    cur = net_evaluator(cfg.env, cfg.net, ts.params, ts.batch_stats)
+    bp, bbs, bcfg = ckpt.load_model(best_model_dir)
+    best = net_evaluator(cfg.env, bcfg.net, bp, bbs)
+    sims = cfg.train.eval_simulations or cfg.mcts.num_simulations
+    res = evaluate_vs(cfg.env, cfg.mcts, cur, best, sims, sims,
+                      cfg.train.eval_games, key,
+                      mcts_a=cfg.mcts, mcts_b=cfg.mcts,
+                      opening_plies=2, plies_per_call=2)
+    log.log({"kind": "eval_best", "iter": it, **res,
+             "best_iteration": bcfg and _best_iteration(best_model_dir)})
+    return res["score"]
+
+
+def _best_iteration(best_model_dir: str):
+    import json as _json
+    try:
+        with open(f"{best_model_dir}/config.json") as f:
+            return _json.load(f).get("iteration")
+    except Exception:
+        return None
 
 
 def run_eval(cfg: RunConfig, carry, ladder: LadderState, it: int,

@@ -387,3 +387,42 @@ def test_int16_value_sums_close_to_f32():
     assert (diff <= 8).all(), diff
     np.testing.assert_allclose(np.asarray(ra.root_value),
                                np.asarray(rb.root_value), atol=0.05)
+
+
+def test_deferred_backup_bit_identical():
+    """backup_interval=2 (deferred backup: odd passes hand their deltas
+    to the next pass through the select-loop lookup instead of
+    scattering) must be BIT-IDENTICAL to scattering every pass, at the
+    full production search config — packed int16 stats, bf16 priors,
+    leaf-parallel lanes, a binding branch cap, depth staging — across
+    odd/even pass counts and both search phases of a real game prefix."""
+    import dataclasses
+    from alphafive_tpu.env import vector as _v
+    from alphafive_tpu.mcts.search_capped import run_mcts_capped
+    from tests.test_pallas_select import frozen_net_evaluator
+
+    env_cfg = EnvConfig(board_size=9)
+    ev = frozen_net_evaluator(env_cfg, jax.random.key(3))
+    for sims, lb, cap in ((96, 8, 16), (72, 4, 12), (40, 8, 81)):
+        base = MCTSConfig(num_simulations=sims, leaf_batch=lb,
+                          branch_cap=cap, max_depth=24,
+                          prior_dtype="bfloat16", value_dtype="int16")
+        deferred = dataclasses.replace(base, backup_interval=2)
+        state = _v.init(env_cfg, 4)
+        key = jax.random.key(sims)
+        for _ in range(6):
+            key, k = jax.random.split(key)
+            legal = state.board == 0
+            acts = jax.random.categorical(
+                k, jnp.where(legal, 0.0, -jnp.inf),
+                axis=-1).astype(jnp.int32)
+            state = _v.step(env_cfg, state, acts)
+        ra = jax.jit(functools.partial(
+            run_mcts_capped, env_cfg, base, ev, add_noise=False))(state, key)
+        rb = jax.jit(functools.partial(
+            run_mcts_capped, env_cfg, deferred, ev,
+            add_noise=False))(state, key)
+        np.testing.assert_array_equal(np.asarray(ra.visits),
+                                      np.asarray(rb.visits))
+        np.testing.assert_array_equal(np.asarray(ra.root_value),
+                                      np.asarray(rb.root_value))

@@ -675,3 +675,46 @@ def test_train_init_from_transfer(tiny, tmp_path):
     delta = np.abs(got[..., :8] - src).mean()
     scale = np.abs(src).mean()
     assert delta < 0.5 * scale, (delta, scale)
+
+
+def test_best_gate_switches_to_net_vs_net(tiny, tmp_path, monkeypatch):
+    """Once the anchor ladder is MAXED and swept it carries no strength
+    signal (the round-4 19×19 run flew blind past iter 249); the gate
+    must then (a) export a params-only best_model on the first promotion
+    and (b) judge later evals by a REAL net-vs-net match against it,
+    logging an eval_best row (reference-family new-vs-best, SURVEY.md
+    §3.5). The anchor eval is stubbed to a sweep; the net-vs-net match
+    runs for real."""
+    import json
+    from alphafive_tpu.train import loop
+    from alphafive_tpu.utils.elo import update_ladder
+
+    def fake_run_eval(cfg, carry, ladder, it, key, log):
+        result = {"score": 1.0, "games": 4, "wins": 4, "losses": 0,
+                  "draws": 0}
+        elo = update_ladder(ladder, result, it)
+        log.log({"kind": "eval", "iter": it, **result, "elo": elo})
+        return elo
+
+    monkeypatch.setattr(loop, "run_eval", fake_run_eval)
+    cfg = dataclasses.replace(
+        tiny,
+        train=dataclasses.replace(tiny.train, eval_every_iters=1,
+                                  checkpoint_every_iters=1000,
+                                  eval_simulations=8,
+                                  max_anchor_rollouts=200))
+    loop.train(cfg, workdir=str(tmp_path), total_iters=2)
+
+    # eval 1: ladder maxed+swept but no best yet -> Elo path promotes and
+    # exports the lightweight best model
+    assert (tmp_path / "best_model" / "model.msgpack").exists()
+    rows = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    kinds = [r["kind"] for r in rows]
+    assert "best" in kinds
+    # eval 2: best exists -> the gate played current-vs-best for real
+    eb = [r for r in rows if r["kind"] == "eval_best"]
+    assert len(eb) == 1
+    assert eb[0]["games"] == 4
+    assert 0.0 <= eb[0]["score"] <= 1.0
+    # iter rows carry the lr-floor canary
+    assert all("lr_at_floor" in r for r in rows if r["kind"] == "iter")
