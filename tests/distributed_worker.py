@@ -58,8 +58,26 @@ assert barrier_wait > 1.5, barrier_wait
 # multi-process path; only the primary writes metrics.jsonl
 from alphafive_tpu.config import get_preset  # noqa: E402
 from alphafive_tpu.train.loop import train  # noqa: E402
+from alphafive_tpu import parallel  # noqa: E402
 
 cfg = get_preset("tiny_test")
+
+# Align the collective EXECUTION across processes: gloo's context
+# handshake has a fixed ~30s window, and on a loaded single-core machine
+# one process's XLA compile can lag past it. Pre-compile the iteration
+# into a per-process persistent cache (compile only — no collective
+# runs), barrier, then train(): its own jit instance hits the cache and
+# both processes reach the pmean within milliseconds.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(workdir, f"xla_cache_{proc_id}"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+_mesh = parallel.make_mesh(len(jax.devices()))
+_carry = parallel.init_carry(cfg, jax.random.key(0), _mesh)
+parallel.make_train_iteration(cfg, _mesh).lower(
+    _carry, jax.random.key(1)).compile()
+del _carry
+distributed.barrier("precompiled")
+
 carry, _ = train(cfg, workdir=workdir, total_iters=1)
 
 # --- params must be bit-identical across processes after the pmean'd
