@@ -494,6 +494,17 @@ def train_lowsim_15x15() -> RunConfig:
         train=TrainConfig(num_envs=2048, selfplay_plies_per_iter=32,
                           learner_steps_per_iter=4,
                           kl_stop_factor=4.0,
+                          # 16-sim π' targets keep per-update KL small, so
+                          # the controller drifts to its cap far more
+                          # readily than under 240-sim visit counts: the
+                          # round-5 matched-budget run sat at the 10×
+                          # default cap from ~iter 2540, flattened the
+                          # policy and destroyed the net in its last ~100
+                          # iters (ckpt 2500 beat the final export
+                          # 111–17; docs/TRAINING.md "lr-ceiling
+                          # runaway"). Same cap the 19×19 forensics
+                          # landed on.
+                          lr_scale_max=3.0,
                           eval_every_iters=400, eval_games=32,
                           eval_simulations=240,
                           max_anchor_rollouts=6_400,

@@ -113,6 +113,16 @@ def train(cfg: RunConfig, workdir: Optional[str] = None,
             # (docs/TRAINING.md "The late-run value-loss rise").
             "lr_at_floor": 1.0 if metrics.get("lr_scale", 1.0) <= 0.101
             else 0.0,
+            # the symmetric canary: controller pinned at its UPPER cap
+            # (train.lr_scale_max). The round-5 lowsim_15x15 run spent
+            # its last ~75 iterations at the 10× default cap, flattened
+            # its policy (entropy_pi 2.0→4.9) and destroyed the net —
+            # checkpoint 2500 beat the final 2615 export 111–17
+            # (docs/TRAINING.md "The lr-ceiling runaway at 16-sim
+            # budgets"). Alert on a sustained rolling mean near 1.0,
+            # especially together with rising entropy_pi.
+            "lr_at_ceiling": 1.0 if metrics.get("lr_scale", 1.0)
+            >= cfg.train.lr_scale_max * 0.999 else 0.0,
         })
 
         # The eval key is split BEFORE the checkpoint so the saved key
