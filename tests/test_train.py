@@ -716,5 +716,9 @@ def test_best_gate_switches_to_net_vs_net(tiny, tmp_path, monkeypatch):
     assert len(eb) == 1
     assert eb[0]["games"] == 4
     assert 0.0 <= eb[0]["score"] <= 1.0
-    # iter rows carry the lr-floor canary
-    assert all("lr_at_floor" in r for r in rows if r["kind"] == "iter")
+    # iter rows carry both KL-controller clamp canaries (the floor caught
+    # the 19×19 drift; the CEILING caught the round-5 lowsim runaway —
+    # docs/TRAINING.md "The lr-ceiling runaway at 16-sim budgets")
+    iters = [r for r in rows if r["kind"] == "iter"]
+    assert all("lr_at_floor" in r for r in iters)
+    assert all(r.get("lr_at_ceiling") in (0.0, 1.0) for r in iters)
