@@ -222,12 +222,20 @@ def _pretrained_dir(cfg):
 
     The reference repo ships a ready-to-play model (SURVEY.md §2
     "Pretrained model"); ours live under <repo>/pretrained/<size>x<size>.
+    Where a strength-ranked variant exists for the board (round-5
+    net-vs-net matches), it is preferred — 15×15 resolves to the
+    `15x15_lowsim` bundle, which beats `15x15` at every neutral budget
+    tried (+163/+246/+112 Elo at 240/64/16 sims;
+    pretrained/15x15_lowsim/README.md).
     """
     import os
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     s = cfg.env.board_size
-    path = os.path.join(here, "pretrained", f"{s}x{s}")
-    return path if os.path.isdir(path) else None
+    for name in (f"{s}x{s}_lowsim", f"{s}x{s}"):
+        path = os.path.join(here, "pretrained", name)
+        if os.path.isdir(path):
+            return path
+    return None
 
 
 def _load_model(cfg, workdir):

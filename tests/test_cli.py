@@ -144,3 +144,28 @@ def test_hbm_footprint_guard():
     for name in ("chip_15x15", "host_15x15", "renju_19x19",
                  "lowsim_15x15", "train_15x15", "train_19x19"):
         assert budget_error(PRESETS[name](), 1) is None, name
+
+
+def test_pretrained_dir_prefers_strength_ranked_variant():
+    """The per-board bundled-model resolution prefers a strength-ranked
+    variant dir when one ships: 15×15 must resolve to the
+    `pretrained/15x15_lowsim` bundle (beats the classic bundle at every
+    neutral budget — its README), while boards without a variant resolve
+    to their plain dir and unshipped boards to None."""
+    import dataclasses
+    import os
+
+    from alphafive_tpu import cli
+    from alphafive_tpu.config import get_preset
+
+    cfg15 = get_preset("train_15x15")
+    d = cli._pretrained_dir(cfg15)
+    assert d is not None and os.path.basename(d) == "15x15_lowsim"
+
+    cfg9 = get_preset("train_9x9")
+    d9 = cli._pretrained_dir(cfg9)
+    assert d9 is not None and os.path.basename(d9) == "9x9"
+
+    cfg7 = dataclasses.replace(
+        cfg9, env=dataclasses.replace(cfg9.env, board_size=7))
+    assert cli._pretrained_dir(cfg7) is None
