@@ -202,7 +202,6 @@ class TrainConfig:
     eval_every_iters: int = 50
     eval_games: int = 32
     eval_simulations: int = 0  # 0 → use mcts.num_simulations
-    eval_rollouts: int = 1000  # pure-MCTS anchor playouts (SURVEY.md §3.5)
     # Ladder promotion stops doubling the anchor budget here. Besides eval
     # cost, single-call duration matters on watchdogged remote-TPU
     # runtimes: one 12800-rollout anchor search per device call exceeded
@@ -247,15 +246,26 @@ class RunConfig:
         return dataclasses.replace(self, **kw)
 
 
+def _known(cls, d: Dict[str, Any]) -> Dict[str, Any]:
+    """Drop keys the dataclass no longer has: configs are serialized into
+    every checkpoint/export, so fields REMOVED from a config class (e.g.
+    the dead `train.eval_rollouts` knob, round 5) must not break loading
+    artifacts written while they existed. Unknown keys are ignored, not
+    errors — the restored value of a removed field is its removal, and
+    new fields absent from old artifacts already default via **kwargs."""
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in d.items() if k in names}
+
+
 def _from_dict(d: Dict[str, Any]) -> RunConfig:
     return RunConfig(
         name=d.get("name", "default"),
-        env=EnvConfig(**d.get("env", {})),
-        net=NetConfig(**d.get("net", {})),
-        mcts=MCTSConfig(**d.get("mcts", {})),
-        replay=ReplayConfig(**d.get("replay", {})),
-        train=TrainConfig(**d.get("train", {})),
-        mesh=MeshConfig(**d.get("mesh", {})),
+        env=EnvConfig(**_known(EnvConfig, d.get("env", {}))),
+        net=NetConfig(**_known(NetConfig, d.get("net", {}))),
+        mcts=MCTSConfig(**_known(MCTSConfig, d.get("mcts", {}))),
+        replay=ReplayConfig(**_known(ReplayConfig, d.get("replay", {}))),
+        train=TrainConfig(**_known(TrainConfig, d.get("train", {}))),
+        mesh=MeshConfig(**_known(MeshConfig, d.get("mesh", {}))),
     )
 
 
@@ -446,8 +456,7 @@ def tiny_test() -> RunConfig:
         mcts=MCTSConfig(num_simulations=16, temperature_moves=4),
         replay=ReplayConfig(capacity=1_024, batch_size=32, min_fill=32),
         train=TrainConfig(num_envs=4, selfplay_plies_per_iter=25,
-                          learner_steps_per_iter=1, eval_games=4,
-                          eval_rollouts=8),
+                          learner_steps_per_iter=1, eval_games=4),
     )
 
 

@@ -169,3 +169,19 @@ def test_pretrained_dir_prefers_strength_ranked_variant():
     cfg7 = dataclasses.replace(
         cfg9, env=dataclasses.replace(cfg9.env, board_size=7))
     assert cli._pretrained_dir(cfg7) is None
+
+
+def test_config_from_json_drops_removed_fields():
+    """Configs live inside every checkpoint/export, so deserialization
+    must tolerate fields that later rounds REMOVED from the dataclasses
+    (e.g. train.eval_rollouts): loading an old artifact must not raise."""
+    import json
+
+    from alphafive_tpu.config import RunConfig, get_preset
+
+    cfg = get_preset("tiny_test")
+    d = json.loads(cfg.to_json())
+    d["train"]["eval_rollouts"] = 8        # removed round 5
+    d["mcts"]["some_future_or_past_knob"] = 1
+    back = RunConfig.from_json(json.dumps(d))
+    assert back == cfg
