@@ -223,15 +223,21 @@ def _pretrained_dir(cfg):
     The reference repo ships a ready-to-play model (SURVEY.md §2
     "Pretrained model"); ours live under <repo>/pretrained/<size>x<size>.
     Where a strength-ranked variant exists for the board (round-5
-    net-vs-net matches), it is preferred — 15×15 resolves to the
-    `15x15_lowsim` bundle, which beats `15x15` at every neutral budget
-    tried (+163/+246/+112 Elo at 240/64/16 sims;
-    pretrained/15x15_lowsim/README.md).
+    net-vs-net matches), it is preferred — the loader uses the BUNDLE's
+    saved net config, so a variant with a different architecture (the
+    19×19 10-block) loads without any --set overrides:
+
+    * 15×15 → `15x15_lowsim` (beats `15x15` at every neutral budget
+      tried: +163/+246/+112 Elo at 240/64/16 sims — its README);
+    * 19×19 → `19x19_10b` (beats `19x19` 61–3 at equal 240-sim
+      search — its README).
     """
     import os
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     s = cfg.env.board_size
-    for name in (f"{s}x{s}_lowsim", f"{s}x{s}"):
+    # strongest-first per board (head-to-head ranked), plain dir last
+    ranked = {15: ["15x15_lowsim"], 19: ["19x19_10b"]}
+    for name in ranked.get(s, []) + [f"{s}x{s}"]:
         path = os.path.join(here, "pretrained", name)
         if os.path.isdir(path):
             return path

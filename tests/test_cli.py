@@ -162,6 +162,10 @@ def test_pretrained_dir_prefers_strength_ranked_variant():
     d = cli._pretrained_dir(cfg15)
     assert d is not None and os.path.basename(d) == "15x15_lowsim"
 
+    cfg19 = get_preset("train_19x19")
+    d19 = cli._pretrained_dir(cfg19)
+    assert d19 is not None and os.path.basename(d19) == "19x19_10b"
+
     cfg9 = get_preset("train_9x9")
     d9 = cli._pretrained_dir(cfg9)
     assert d9 is not None and os.path.basename(d9) == "9x9"
